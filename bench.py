@@ -1,0 +1,116 @@
+"""Benchmark driver: env-steps/s/chip for the TPU-native engine.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the reference (pure-Python gym) engine
+stepping a single env instance on one CPU core of this machine, measured by
+``python bench.py --measure-reference``. The reference publishes no perf
+numbers (BASELINE.md), so these measured numbers are the baseline of record.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+# Reference single-CPU single-env steps/s measured on this machine
+# (see --measure-reference; reference BuildingEnv is one 6x6 numpy matmul
+# per step, /root/reference/sustaingym/envs/building/env.py:266).
+REF_BASELINE_STEPS_PER_S = {
+    "building": 15182.0,
+    "cogen": None,       # reference cannot run here (onnxruntime + model.onnx absent)
+    "evcharging": None,  # reference cannot run here (acnportal + cvxpy absent)
+}
+
+
+def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.core import batch_rollout, random_policy
+
+    env, params = make("building")
+
+    policy = random_policy(env, params, batch)
+
+    @jax.jit
+    def run(key):
+        traj = batch_rollout(env, params, policy, None, key, batch, steps)
+        return traj.reward.sum()
+
+    key = jax.random.PRNGKey(0)
+    run(key).block_until_ready()  # compile
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": "building_env_steps_per_s_per_chip",
+        "value": round(batch * steps / best, 1),
+        "unit": "env-steps/s",
+        "batch": batch,
+        "scan_steps": steps,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_reference() -> None:
+    """Measures the reference engine on this machine (requires the reference
+    tree at /root/reference and the pvlib shim)."""
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, "tests/_shims")
+    sys.path.insert(0, "/root/reference")
+    import numpy as np
+    from sustaingym.envs.building import BuildingEnv as Ref
+    from sustaingym.envs.building import ParameterGenerator as RefPG
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = Ref(RefPG(building="OfficeSmall", weather="Hot_Dry",
+                        location="Tucson"))
+    rng = np.random.default_rng(0)
+    ref.reset(seed=0)
+    a = rng.uniform(-1, 1, size=(ref.n,)).astype(np.float32)
+    for _ in range(100):
+        ref.step(a)
+    n = 5000
+    t0 = time.perf_counter()
+    for i in range(n):
+        _, _, done, _, _ = ref.step(a)
+        if done:
+            ref.reset(seed=i)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"reference_building_steps_per_s": round(n / dt, 1)}))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="building")
+    parser.add_argument("--batch", type=int, default=16384)
+    parser.add_argument("--steps", type=int, default=288)
+    parser.add_argument("--measure-reference", action="store_true")
+    args = parser.parse_args()
+
+    if args.measure_reference:
+        measure_reference()
+        return
+
+    if args.env == "building":
+        result = bench_building(args.batch, args.steps)
+    else:
+        raise SystemExit(f"unknown bench env {args.env}")
+
+    baseline = REF_BASELINE_STEPS_PER_S.get(args.env)
+    result["vs_baseline"] = (
+        round(result["value"] / baseline, 1) if baseline else None)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""SustainGym-TPU: a TPU-native vectorized engine for the SustainGym suite.
+
+A from-scratch rebuild of chrisyeh96/sustaingym (reference snapshot at
+/root/reference) as pure, jittable JAX environments that vmap to thousands of
+instances per chip and shard across TPU pod slices. See SURVEY.md for the
+layer map and design rules.
+
+Quick start::
+
+    import jax
+    from sustaingym_tpu import make
+
+    env, params = make("building")
+    state, ts = env.reset(params, jax.random.PRNGKey(0))
+    action = env.action_space(params).sample(jax.random.PRNGKey(1))
+    state, ts = env.step(params, state, action, jax.random.PRNGKey(2))
+"""
+from __future__ import annotations
+
+from typing import Any
+
+__version__ = "0.1.0"
+
+_REGISTRY: dict[str, Any] = {}
+
+
+def register(name: str, factory) -> None:
+    """Registers an env factory. ``factory(**kwargs) -> (env, params)``."""
+    _REGISTRY[name] = factory
+
+
+def make(name: str, **kwargs):
+    """Creates (env, params) for a registered environment.
+
+    Registered names (mirroring /root/reference/sustaingym/__init__.py:3-29
+    plus the two doc-spec envs):
+      'building', 'cogen', 'evcharging', 'electricitymarket', 'datacenter'
+    """
+    if not _REGISTRY:
+        _populate_registry()
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown env {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _populate_registry() -> None:
+    import importlib
+
+    for name in ("building", "cogen", "evcharging", "electricitymarket",
+                 "datacenter"):
+        try:
+            mod = importlib.import_module(f".envs.{name}", __name__)
+        except ImportError:
+            continue
+        if hasattr(mod, "make_env"):
+            register(name, mod.make_env)

@@ -1,0 +1,110 @@
+"""Functional environment protocol for the TPU-native engine.
+
+Design (SURVEY.md §7 design rule 1): every env is a pure function pair
+
+    reset(params, key)                -> (state, timestep)
+    step(params, state, action, key)  -> (state, timestep)
+
+on fixed-shape pytrees. No host sync, no Python-level randomness, no
+data-dependent shapes — so the whole episode rolls out under ``lax.scan``
+and thousands of env instances step in lockstep under ``vmap``/``pjit``.
+
+This replaces the reference's object-oriented Gymnasium API
+(/root/reference/sustaingym/envs/building/env.py:205,314 et al.); the
+``sustaingym_tpu.compat`` layer re-exposes the classic imperative API on top.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Generic, TypeVar
+
+import jax
+import jax.numpy as jnp
+
+from .spaces import Space
+from .struct import PyTreeNode, tree_select
+
+P = TypeVar("P")  # params pytree
+S = TypeVar("S")  # state pytree
+
+__all__ = ["TimeStep", "FunctionalEnv", "autoreset_step", "RewardBreakdown"]
+
+
+class TimeStep(PyTreeNode):
+    """One transition's outputs. ``info`` is a flat dict of arrays so that it
+    vmaps; reward-breakdown accounting lives here as a struct-of-arrays
+    (mirroring the reference's ``info['reward_breakdown']`` dicts, e.g.
+    /root/reference/sustaingym/envs/building/env.py:183)."""
+
+    obs: Any
+    reward: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+    info: dict[str, Any]
+
+    @property
+    def done(self) -> jax.Array:
+        return jnp.logical_or(self.terminated, self.truncated)
+
+
+RewardBreakdown = dict[str, jax.Array]
+
+
+class FunctionalEnv(Generic[P, S]):
+    """Base class: holds metadata + the pure ``reset``/``step`` functions.
+
+    Subclasses implement ``reset`` and ``step`` as pure jittable functions of
+    their pytree ``params``/``state`` and override the space constructors.
+    Instances are lightweight descriptors — all numeric state flows through
+    function arguments.
+    """
+
+    #: name used by the registry
+    name: str = "abstract"
+
+    # ---- pure API -------------------------------------------------------
+    def reset(self, params: P, key: jax.Array) -> tuple[S, TimeStep]:
+        raise NotImplementedError
+
+    def step(self, params: P, state: S, action: Any, key: jax.Array
+             ) -> tuple[S, TimeStep]:
+        raise NotImplementedError
+
+    # ---- metadata -------------------------------------------------------
+    def observation_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    def action_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    # ---- seeding parity -------------------------------------------------
+    def key_from_seed(self, params: P, seed: int | None) -> jax.Array:
+        """Maps a reference-style integer seed to a PRNG key. Envs with
+        deterministic seed→episode semantics (e.g. building seed→epoch,
+        /root/reference/sustaingym/envs/building/env.py:339-345) fold the
+        seed into reset via this key."""
+        return jax.random.PRNGKey(0 if seed is None else seed)
+
+
+def autoreset_step(env: FunctionalEnv[P, S]
+                   ) -> Callable[[P, S, Any, jax.Array], tuple[S, TimeStep]]:
+    """Wraps ``env.step`` with functional auto-reset.
+
+    When an episode ends, the returned state/obs are those of a freshly
+    reset episode (keyed independently), while reward/terminated/truncated
+    of the finishing step are preserved. This keeps ``vmap`` batches stepping
+    in lockstep forever with no host round-trip — the TPU replacement for
+    SubprocVecEnv/RLLib worker autoreset
+    (/root/reference/examples/evcharging/train_stable_baselines.py:275).
+    """
+
+    def step(params: P, state: S, action: Any, key: jax.Array
+             ) -> tuple[S, TimeStep]:
+        key_step, key_reset = jax.random.split(key)
+        next_state, ts = env.step(params, state, action, key_step)
+        reset_state, reset_ts = env.reset(params, key_reset)
+        done = ts.done
+        new_state = tree_select(done, reset_state, next_state)
+        new_obs = tree_select(done, reset_ts.obs, ts.obs)
+        return new_state, ts.replace(obs=new_obs)
+
+    return step

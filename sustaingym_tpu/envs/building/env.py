@@ -1,0 +1,294 @@
+"""BuildingEnv — pure jittable multi-zone thermal RC control (layer L2'/L3').
+
+Semantics mirror the reference BuildingEnv
+(/root/reference/sustaingym/envs/building/env.py:16-434): a discrete LTI
+update ``X' = A_d X + BD_d Y`` per step, occupant sensible-heat polynomial,
+reward ``-(q_rate * ||a||_p + beta * ||err||_p)``, seed->epoch episode
+selection over a year of weather. Redesigned TPU-first:
+
+- all per-step work is one (n,n)x(n,) + (n,n+4)x(n+4,) matmul pair — fused by
+  XLA and vmapped over thousands of building instances;
+- exogenous weather/occupancy live in device arrays indexed by a traced epoch
+  (dynamic gather), so the full episode rolls under ``lax.scan``;
+- autoreset is functional (core.autoreset_step).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (Box, FunctionalEnv, MultiDiscrete, TimeStep, dataclass,
+                     static_field)
+
+# Occupancy sensible-heat polynomial coefficients, EnergyPlus engineering
+# reference p.1299 (/root/reference/sustaingym/envs/building/env.py:87-99).
+OCCU_COEF = (6.461927, 0.946892, 0.0000255737, 0.0627909, 0.0000589172,
+             0.19855, 0.000940018, 0.00000149532)
+OCCU_COEF_LINEAR = 7.139322
+DISCRETE_LENGTH = 100
+SCALING_FACTOR = 24
+
+
+@dataclass
+class BuildingParams:
+    """Device-side parameter pack (compiled once on host)."""
+    # dynamics
+    A_d: jax.Array            # (n, n)
+    BD_d: jax.Array           # (n, n+4)
+    # exogenous year-long series at time_res resolution
+    out_temp: jax.Array       # (T,)
+    ground_temp: jax.Array    # (T,)
+    ghi: jax.Array            # (T,) normalized [0, 1]
+    metabolism: jax.Array     # (T,)
+    # zone config
+    target: jax.Array         # (n,)
+    ac_map: jax.Array         # (n,)
+    # reward
+    q_rate: jax.Array         # scalar
+    error_rate: jax.Array     # scalar
+    # static metadata
+    n: int = static_field()
+    episode_len: int = static_field()
+    length_of_weather: int = static_field()
+    reward_pnorm: float = static_field()
+    max_power: float = static_field()
+    time_resolution: int = static_field()
+    temp_min: float = static_field()
+    temp_max: float = static_field()
+    is_continuous_action: bool = static_field(default=True)
+
+
+@dataclass
+class BuildingState:
+    x: jax.Array              # (n,) zone temperatures (step precision)
+    occupower: jax.Array      # scalar, W
+    epoch: jax.Array          # int32 index into weather arrays
+    steps: jax.Array          # int32 steps taken this episode
+
+
+def make_params(p: dict[str, Any], dtype=jnp.float32) -> BuildingParams:
+    """Packs the host compiler's dict (envs/building/params.py) into the
+    device pytree, precomputing the ZOH discretisation."""
+    from .params import discretize
+    A_d, BD_d = discretize(np.asarray(p["A"]), np.asarray(p["B"]),
+                           np.asarray(p["D"]), p["time_resolution"])
+    n = p["n"]
+    beta = p["reward_beta"]
+    return BuildingParams(
+        A_d=jnp.asarray(A_d, dtype),
+        BD_d=jnp.asarray(BD_d, dtype),
+        out_temp=jnp.asarray(p["out_temp"], dtype),
+        ground_temp=jnp.asarray(p["ground_temp"], dtype),
+        ghi=jnp.asarray(p["ghi"], dtype),
+        metabolism=jnp.asarray(p["metabolism"], dtype),
+        target=jnp.asarray(p["target"], dtype),
+        ac_map=jnp.asarray(p["ac_map"], dtype),
+        q_rate=jnp.asarray((1 - beta) * SCALING_FACTOR, dtype),
+        error_rate=jnp.asarray(beta, dtype),
+        n=n,
+        episode_len=int(p["episode_len"]),
+        length_of_weather=int(len(p["out_temp"])),
+        reward_pnorm=float(p["reward_pnorm"]),
+        max_power=float(p["max_power"]),
+        time_resolution=int(p["time_resolution"]),
+        temp_min=float(p["temp_range"][0]),
+        temp_max=float(p["temp_range"][1]),
+        is_continuous_action=bool(p["is_continuous_action"]),
+    )
+
+
+def calc_occupower(temp: jax.Array, meta: jax.Array) -> jax.Array:
+    """Occupant sensible heat gain (W)
+    (/root/reference/sustaingym/envs/building/env.py:411-434).
+
+    Precision contract: products involving ``temp`` are evaluated at
+    ``temp.dtype`` before being widened by ``meta``. This reproduces NumPy 2
+    weak scalar promotion in the reference, where the step-time temperature is
+    a float32 scalar (mean of the float32 obs) and ``coef * temp`` rounds the
+    coefficient to float32, while at reset time temp is float64.
+    """
+    temp = jnp.asarray(temp)
+    meta = jnp.asarray(meta)
+    tdt = temp.dtype
+    wdt = jnp.result_type(tdt, meta.dtype)
+    c = [jnp.asarray(ci, tdt) for ci in OCCU_COEF]
+    cw = [jnp.asarray(ci, wdt) for ci in OCCU_COEF]
+    t2 = temp * temp
+    meta2 = meta * meta
+    return (cw[0] + cw[1] * meta + cw[2] * meta2
+            - (c[3] * temp).astype(wdt) * meta
+            + (c[4] * temp).astype(wdt) * meta2
+            - (c[5] * t2).astype(wdt)
+            + (c[6] * t2).astype(wdt) * meta
+            - (c[7] * t2).astype(wdt) * meta2)
+
+
+def _seq_sum(x: jax.Array, n: int) -> jax.Array:
+    """Strictly sequential sum over a small static-length vector.
+
+    XLA's ``reduce`` may use a tree order; numpy sums short vectors
+    sequentially. For n <= 32 we unroll to preserve bit-level parity of the
+    average-temperature reduction feeding the occupancy polynomial.
+    """
+    if n <= 32:
+        s = x[0]
+        for i in range(1, n):
+            s = s + x[i]
+        return s
+    return jnp.sum(x)
+
+
+def _pnorm(x: jax.Array, p: float) -> jax.Array:
+    n = x.shape[-1]
+    if p == 2:
+        return jnp.sqrt(_seq_sum(x * x, n))
+    if p == 1:
+        return _seq_sum(jnp.abs(x), n)
+    return _seq_sum(jnp.abs(x) ** p, n) ** (1.0 / p)
+
+
+class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
+    """Functional BuildingEnv.
+
+    ``reset(params, key)`` picks a uniform-random starting epoch in
+    [0, T-2] like the reference's unseeded reset
+    (/root/reference/sustaingym/envs/building/env.py:339-340); deterministic
+    seeded resets go through :meth:`reset_at_epoch` +
+    :meth:`epoch_from_seed` (env.py:341-345).
+    """
+
+    name = "building"
+
+    # ---- seeding --------------------------------------------------------
+    @staticmethod
+    def epoch_from_seed(params: BuildingParams, seed: int) -> int:
+        num_days_normalizer = (
+            (params.episode_len * params.time_resolution) // 86_400) * 365
+        epoch = int((seed / num_days_normalizer) * params.length_of_weather)
+        return min(epoch, params.length_of_weather - 1)
+
+    # ---- pure API -------------------------------------------------------
+    def reset(self, params: BuildingParams, key: jax.Array
+              ) -> tuple[BuildingState, TimeStep]:
+        epoch = jax.random.randint(key, (), 0, params.length_of_weather - 1)
+        return self.reset_at_epoch(params, epoch)
+
+    def reset_at_epoch(self, params: BuildingParams, epoch,
+                       t_initial: jax.Array | None = None
+                       ) -> tuple[BuildingState, TimeStep]:
+        epoch = jnp.asarray(epoch, jnp.int32)
+        x0 = params.target if t_initial is None else jnp.asarray(t_initial)
+        avg_temp = _seq_sum(x0, params.n) / params.n
+        meta = params.metabolism[epoch]
+        occupower = calc_occupower(avg_temp, meta)
+        state = BuildingState(
+            x=x0.astype(params.A_d.dtype), occupower=occupower,
+            epoch=epoch, steps=jnp.zeros((), jnp.int32))
+        obs = self._obs(params, state)
+        ts = TimeStep(
+            obs=obs, reward=jnp.zeros((), params.A_d.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info=self._zero_info(params))
+        return state, ts
+
+    def step(self, params: BuildingParams, state: BuildingState,
+             action: jax.Array, key: jax.Array
+             ) -> tuple[BuildingState, TimeStep]:
+        del key  # dynamics are deterministic
+        dtype = params.A_d.dtype
+        if not params.is_continuous_action:
+            # MultiDiscrete {0..2*100*ac} -> continuous [-ac, ac]
+            # (/root/reference/sustaingym/envs/building/env.py:234-235)
+            action = (jnp.asarray(action, dtype)
+                      - params.ac_map * DISCRETE_LENGTH) / DISCRETE_LENGTH
+        # the action norm in the reward is evaluated at the caller's dtype
+        # (reference norms the incoming float32 action directly, env.py:276)
+        action_in = jnp.asarray(action)
+        action = jnp.asarray(action, dtype)
+
+        epoch = state.epoch
+        # obs vector is stored at float32 precision between steps, matching
+        # the reference's float32 state cast (env.py:286-296)
+        x = state.x.astype(jnp.float32).astype(dtype)
+        # the reference averages the float32 obs vector (env.py:249); keep the
+        # reduction AND the polynomial's temp products in float32 for parity
+        avg_temp32 = _seq_sum(state.x.astype(jnp.float32), params.n) / params.n
+        meta = params.metabolism[epoch]
+        occupower = calc_occupower(avg_temp32, meta).astype(dtype)
+
+        # Y = [occupower, ground, out, action(n), ghi] (env.py:243-263)
+        y = jnp.concatenate([
+            jnp.stack([occupower, params.ground_temp[epoch],
+                       params.out_temp[epoch]]),
+            action, params.ghi[epoch][None]])
+
+        x_new = params.A_d @ x + params.BD_d @ y
+
+        # keep the reference's exact expression order for bit parity
+        # (env.py:272): X_new * ac_map - target * ac_map
+        error = x_new * params.ac_map - params.target * params.ac_map
+        p = params.reward_pnorm
+        # norm(f32 action) * q_rate stays float32 under NumPy-2 weak
+        # promotion in the reference (env.py:276); reproduce before widening
+        power_cost = (_pnorm(action_in, p)
+                      * params.q_rate.astype(action_in.dtype)).astype(dtype)
+        comfort_cost = _pnorm(error, p) * params.error_rate
+        reward = -(power_cost + comfort_cost)
+
+        next_epoch = jnp.where(epoch + 1 >= params.length_of_weather,
+                               0, epoch + 1)
+        steps = state.steps + 1
+        done = steps >= params.episode_len
+
+        new_state = BuildingState(
+            x=x_new, occupower=occupower, epoch=next_epoch, steps=steps)
+        obs = self._obs(params, new_state, at_epoch=epoch)
+        ts = TimeStep(
+            obs=obs, reward=reward,
+            terminated=done, truncated=done,
+            info={
+                "zone_temperature": x_new,
+                "comfort_level": -comfort_cost,
+                "power_consumption": -power_cost,
+            })
+        return new_state, ts
+
+    def _obs(self, params: BuildingParams, state: BuildingState,
+             at_epoch=None) -> jax.Array:
+        """obs = [zone temps (n), out temp, ground temp, ghi, occupower/1000]
+        (/root/reference/sustaingym/envs/building/env.py:286-296)."""
+        e = state.epoch if at_epoch is None else at_epoch
+        return jnp.concatenate([
+            state.x,
+            jnp.stack([params.out_temp[e], params.ground_temp[e],
+                       params.ghi[e], state.occupower / 1000.0]),
+        ]).astype(jnp.float32)
+
+    def _zero_info(self, params: BuildingParams) -> dict[str, jax.Array]:
+        dtype = params.A_d.dtype
+        return {
+            "zone_temperature": jnp.zeros(params.n, dtype),
+            "comfort_level": jnp.zeros((), dtype),
+            "power_consumption": jnp.zeros((), dtype),
+        }
+
+    # ---- metadata -------------------------------------------------------
+    def observation_space(self, params: BuildingParams) -> Box:
+        n = params.n
+        min_t, max_t = params.temp_min, params.temp_max
+        heat_max = 1000.0
+        low = np.concatenate([
+            np.full(n + 1, min_t), [0], [min_t],
+            [-min_t * OCCU_COEF_LINEAR / 1000]])
+        high = np.concatenate([
+            np.full(n + 1, max_t), [heat_max], [max_t], [heat_max]])
+        return Box(low, high, dtype=jnp.float32)
+
+    def action_space(self, params: BuildingParams) -> Box | MultiDiscrete:
+        ac = np.asarray(params.ac_map, dtype=np.float64)
+        if params.is_continuous_action:
+            return Box(-ac, ac, dtype=jnp.float32)
+        return MultiDiscrete((2 * ac * DISCRETE_LENGTH).astype(np.int64))
