@@ -58,6 +58,38 @@ def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
     }
 
 
+def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
+    import jax
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.core import batch_rollout, random_policy
+
+    env, params = make("cogen")
+    policy = random_policy(env, params, batch)
+
+    @jax.jit
+    def run(key):
+        traj = batch_rollout(env, params, policy, None, key, batch, steps)
+        return traj.reward.sum()
+
+    key = jax.random.PRNGKey(0)
+    run(key).block_until_ready()
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": "cogen_env_steps_per_s_per_chip",
+        "value": round(batch * steps / best, 1),
+        "unit": "env-steps/s",
+        "batch": batch,
+        "scan_steps": steps,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def measure_reference() -> None:
     """Measures the reference engine on this machine (requires the reference
     tree at /root/reference and the pvlib shim)."""
@@ -103,6 +135,8 @@ def main() -> None:
 
     if args.env == "building":
         result = bench_building(args.batch, args.steps)
+    elif args.env == "cogen":
+        result = bench_cogen(min(args.batch, 4096), min(args.steps, 96))
     else:
         raise SystemExit(f"unknown bench env {args.env}")
 

@@ -1,0 +1,287 @@
+"""CogenEnv — pure jittable combined-cycle cogeneration dispatch.
+
+Semantics mirror the reference CogenEnv
+(/root/reference/sustaingym/envs/cogen/env.py:18-388): 96-step (15-min) day;
+Dict action of 15 components (3x GT power/switches/steam + ST power +
+condenser flow + cooling bays); obs = time + previous action + 7 noisy
+forecast channels; reward = -(fuel + ramp + non-delivery + dynamic
+constraint violations). TPU-first redesign:
+
+- actions/observations are flat fixed-shape arrays (Dict adapters live in
+  ``sustaingym_tpu.compat``), so the whole step is one fused XLA program;
+- the ONNX plant surrogate becomes the pure-JAX physics surrogate in
+  ``plant.py`` (model.onnx is absent from the reference snapshot);
+- forecasts are gathers from a padded (n_days, 96+H+1, 7) ambient pack, and
+  forecast noise is drawn from the per-step PRNG key.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (Box, DictSpace, FunctionalEnv, TimeStep, dataclass,
+                     static_field)
+from . import plant
+
+# Flat action layout, in the reference Dict's insertion order
+# (/root/reference/sustaingym/envs/cogen/env.py:114-130).
+ACTION_KEYS = (
+    "GT1_PWR", "GT1_PAC_FFU", "GT1_EVC_FFU", "HR1_HPIP_M_PROC",
+    "GT2_PWR", "GT2_PAC_FFU", "GT2_EVC_FFU", "HR2_HPIP_M_PROC",
+    "GT3_PWR", "GT3_PAC_FFU", "GT3_EVC_FFU", "HR3_HPIP_M_PROC",
+    "ST_PWR", "IPPROC_M", "CT_NrBays")
+
+ACTION_LOW = np.array([
+    plant.GT_PWR_LO[0], 0, 0, plant.HR_LO[0],
+    plant.GT_PWR_LO[1], 0, 0, plant.HR_LO[1],
+    plant.GT_PWR_LO[2], 0, 0, plant.HR_LO[2],
+    plant.ST_LO, plant.IP_LO, 1], dtype=np.float64)
+ACTION_HIGH = np.array([
+    plant.GT_PWR_HI[0], 1, 1, plant.HR_HI[0],
+    plant.GT_PWR_HI[1], 1, 1, plant.HR_HI[1],
+    plant.GT_PWR_HI[2], 1, 1, plant.HR_HI[2],
+    plant.ST_HI, plant.IP_HI, 12], dtype=np.float64)
+
+# indices of the discrete components within the flat action
+BINARY_IDX = (1, 2, 5, 6, 9, 10)
+BAYS_IDX = 14
+PWR_IDX = (0, 4, 8, 12)  # GT1, GT2, GT3, ST — ramp-cost components
+
+# forecast channel order (env.py:156-158)
+FORECAST_KEYS = ("TAMB", "PAMB", "RHAMB", "Target_Power", "Target_Steam",
+                 "Energy_Price", "Gas_Price")
+
+
+@dataclass
+class CogenParams:
+    # (n_days, 96 + horizon + 1, 7): each day padded with the head of the
+    # next day so forecasts never cross an array boundary
+    ambients: jax.Array
+    ramp_penalty: jax.Array
+    supply_imbalance_penalty: jax.Array
+    constraint_violation_penalty: jax.Array
+    forecast_noise_std: jax.Array
+    n_days: int = static_field()
+    timesteps_per_day: int = static_field(default=96)
+    forecast_horizon: int = static_field(default=3)
+
+
+@dataclass
+class CogenState:
+    day: jax.Array          # int32
+    t: jax.Array            # int32
+    prev_action: jax.Array  # (15,)
+
+
+def make_params(renewables_magnitude: float = 0.0,
+                ramp_penalty: float = 2.0,
+                supply_imbalance_penalty: float = 1000.0,
+                constraint_violation_penalty: float = 1000.0,
+                forecast_horizon: int = 3,
+                forecast_noise_std: float = 0.0,
+                dtype=jnp.float32) -> CogenParams:
+    from ...data.cogen_etl import build_ambients_pack
+    amb = build_ambients_pack(renewables_magnitude)  # (n_days, 96, 7)
+    n_days, steps, _ = amb.shape
+    assert 0 <= forecast_horizon < steps - 1
+    # pad each day with the first H+1 rows of the following day (wrapping)
+    pad = np.roll(amb, -1, axis=0)[:, :forecast_horizon + 1, :]
+    amb_padded = np.concatenate([amb, pad], axis=1)
+    return CogenParams(
+        ambients=jnp.asarray(amb_padded, dtype),
+        ramp_penalty=jnp.asarray(ramp_penalty, dtype),
+        supply_imbalance_penalty=jnp.asarray(supply_imbalance_penalty, dtype),
+        constraint_violation_penalty=jnp.asarray(constraint_violation_penalty, dtype),
+        forecast_noise_std=jnp.asarray(forecast_noise_std, dtype),
+        n_days=int(n_days),
+        timesteps_per_day=int(steps),
+        forecast_horizon=int(forecast_horizon),
+    )
+
+
+def pack_model_input(ambient_row: jax.Array, action: jax.Array) -> jax.Array:
+    """Builds the 18-dim plant-model input from the true ambient row and the
+    flat action (mirrors env.py:294-302)."""
+    a = action
+    return jnp.concatenate([
+        ambient_row[:3],                                    # TAMB, PAMB, RHAMB
+        jnp.stack([a[1], a[2], a[0],                        # GT1 PAC, EVC, PWR
+                   a[5], a[6], a[4],                        # GT2
+                   a[9], a[10], a[8],                       # GT3
+                   a[3], a[7], a[11],                       # HR1-3 steam
+                   a[12], a[13], a[14]]),                   # ST, IPPROC, bays
+    ])
+
+
+def dyn_constraint_violation(x: jax.Array, y: jax.Array) -> jax.Array:
+    """16-element dynamic operating-constraint violation
+    (mirrors env.py:232-274)."""
+    r = jax.nn.relu
+    return jnp.stack([
+        r(y[9] - x[5]), r(x[5] - y[10]),      # GT1 power min/max
+        r(y[15] - x[12]), r(x[12] - y[16]),   # GT1 HRSG steam min/max
+        r(y[11] - x[8]), r(x[8] - y[12]),     # GT2 power
+        r(y[17] - x[13]), r(x[13] - y[18]),   # GT2 steam
+        r(y[13] - x[11]), r(x[11] - y[14]),   # GT3 power
+        r(y[19] - x[14]), r(x[14] - y[20]),   # GT3 steam
+        r(y[24] - x[15]), r(x[15] - y[25]),   # ST power
+        r(x[16] - y[22]), r(x[16] - y[23]),   # IP process steam letdown
+    ])
+
+
+class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
+    name = "cogen"
+
+    # ---- seeding --------------------------------------------------------
+    @staticmethod
+    def day_from_seed(params: CogenParams, seed: int) -> int:
+        """seed -> episode day (env.py:214-216)."""
+        return seed % params.n_days
+
+    # ---- helpers --------------------------------------------------------
+    def sample_action(self, params: CogenParams, key: jax.Array) -> jax.Array:
+        """Uniform sample over the flat action space (Box components uniform,
+        binary switches Bernoulli(1/2), bays uniform integer 1..12) — the
+        functional analogue of ``action_space.sample()`` at reset
+        (env.py:222-223)."""
+        dtype = params.ambients.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        low = jnp.asarray(ACTION_LOW, dtype)
+        high = jnp.asarray(ACTION_HIGH, dtype)
+        u = jax.random.uniform(k1, (len(ACTION_KEYS),), dtype=dtype)
+        a = low + u * (high - low)
+        binm = np.zeros(len(ACTION_KEYS), dtype=bool)
+        binm[list(BINARY_IDX)] = True
+        bins = jax.random.bernoulli(k2, 0.5, (len(ACTION_KEYS),)).astype(dtype)
+        a = jnp.where(jnp.asarray(binm), bins, a)
+        bays = jax.random.randint(k3, (), 1, 13).astype(dtype)
+        a = a.at[BAYS_IDX].set(bays)
+        return a
+
+    def _forecast(self, params: CogenParams, day: jax.Array, t: jax.Array,
+                  key: jax.Array) -> jax.Array:
+        """(H+1, 7) forecast slice with iid Gaussian noise on future rows
+        (env.py:145-162)."""
+        h = params.forecast_horizon
+        t = jnp.asarray(t, jnp.int32)
+        window = jax.lax.dynamic_slice(
+            params.ambients[day], (t, jnp.zeros((), jnp.int32)), (h + 1, 7))
+        noise = params.forecast_noise_std * jax.random.normal(
+            key, (h, 7), dtype=window.dtype)
+        return window.at[1:].add(noise)
+
+    def _obs(self, params: CogenParams, state: CogenState, key: jax.Array
+             ) -> dict[str, jax.Array]:
+        f = self._forecast(params, state.day, state.t, key)
+        dtype = params.ambients.dtype
+        obs = {
+            "Time": (state.t / params.timesteps_per_day).astype(dtype)[None],
+            "Prev_Action": state.prev_action,
+        }
+        for i, name in enumerate(FORECAST_KEYS):
+            obs[name] = f[:, i]
+        return obs
+
+    # ---- pure API -------------------------------------------------------
+    def reset(self, params: CogenParams, key: jax.Array
+              ) -> tuple[CogenState, TimeStep]:
+        kday, kact, kobs = jax.random.split(key, 3)
+        day = jax.random.randint(kday, (), 0, params.n_days - 1)
+        return self.reset_at_day(params, day, kact, kobs)
+
+    def reset_at_day(self, params: CogenParams, day, kact: jax.Array,
+                     kobs: jax.Array) -> tuple[CogenState, TimeStep]:
+        day = jnp.asarray(day, jnp.int32)
+        state = CogenState(
+            day=day, t=jnp.zeros((), jnp.int32),
+            prev_action=self.sample_action(params, kact))
+        obs = self._obs(params, state, kobs)
+        dtype = params.ambients.dtype
+        ts = TimeStep(obs=obs, reward=jnp.zeros((), dtype),
+                      terminated=jnp.zeros((), bool),
+                      truncated=jnp.zeros((), bool),
+                      info=self._zero_info(params))
+        return state, ts
+
+    def step(self, params: CogenParams, state: CogenState, action: jax.Array,
+             key: jax.Array) -> tuple[CogenState, TimeStep]:
+        dtype = params.ambients.dtype
+        action = jnp.asarray(action, dtype)
+
+        # reward is computed against the CURRENT (pre-step) true ambient row
+        # (env.py:370: _compute_reward(self.obs, action); forecast row 0 is
+        # noise-free)
+        ambient_now = params.ambients[state.day, state.t]
+        x = pack_model_input(ambient_now, action)
+        y = plant.plant_model(x)
+
+        # fuel: reference total_fuel_cost = model_output[-8] = PLANT_NG_M
+        # (env.py:316)
+        fuel_per_gt = y[6:9]
+        total_fuel = y[21]
+
+        ramp = params.ramp_penalty * jnp.abs(
+            action[jnp.asarray(PWR_IDX)]
+            - state.prev_action[jnp.asarray(PWR_IDX)])
+        total_ramp = jnp.sum(ramp)
+
+        cv = dyn_constraint_violation(x, y)
+        cv_groups = jnp.stack([cv[0:4].sum(), cv[4:8].sum(),
+                               cv[8:12].sum(), cv[12:16].sum()])
+        cv_costs = params.constraint_violation_penalty * cv_groups
+        total_cv = jnp.sum(cv_costs)
+
+        steam_pen = jax.nn.relu(ambient_now[4] - y[28])
+        energy_pen = jax.nn.relu(ambient_now[3] - y[27])
+        non_delivery = params.supply_imbalance_penalty * (steam_pen + energy_pen)
+
+        reward = -(total_fuel + total_ramp + non_delivery + total_cv)
+
+        t_next = state.t + 1
+        new_state = CogenState(day=state.day, t=t_next, prev_action=action)
+        obs = self._obs(params, new_state, key)
+        terminated = t_next >= params.timesteps_per_day
+
+        ts = TimeStep(
+            obs=obs, reward=reward, terminated=terminated,
+            truncated=jnp.zeros((), bool),
+            info={
+                "fuel_costs": fuel_per_gt,          # per GT1..GT3 (ST = 0)
+                "ramp_costs": ramp,                 # GT1, GT2, GT3, ST
+                "dyn_cv_costs": cv_costs,           # GT1, GT2, GT3, ST
+                "non_delivery_cost": non_delivery,
+                "net_power": y[27],
+                "proc_steam": y[28],
+            })
+        return new_state, ts
+
+    def _zero_info(self, params: CogenParams) -> dict[str, jax.Array]:
+        dtype = params.ambients.dtype
+        z = jnp.zeros((), dtype)
+        return {
+            "fuel_costs": jnp.zeros(3, dtype),
+            "ramp_costs": jnp.zeros(4, dtype),
+            "dyn_cv_costs": jnp.zeros(4, dtype),
+            "non_delivery_cost": z,
+            "net_power": z,
+            "proc_steam": z,
+        }
+
+    # ---- metadata -------------------------------------------------------
+    def action_space(self, params: CogenParams) -> Box:
+        return Box(ACTION_LOW, ACTION_HIGH, dtype=jnp.float32)
+
+    def observation_space(self, params: CogenParams) -> DictSpace:
+        h = params.forecast_horizon
+        return DictSpace({
+            "Time": Box(0, 1, (1,)),
+            "Prev_Action": Box(ACTION_LOW, ACTION_HIGH),
+            "TAMB": Box(32, 115, (h + 1,)),
+            "PAMB": Box(14, 15, (h + 1,)),
+            "RHAMB": Box(0, 1, (h + 1,)),
+            "Target_Power": Box(0, 700, (h + 1,)),
+            "Target_Steam": Box(0, 1300, (h + 1,)),
+            "Energy_Price": Box(0, 1500, (h + 1,)),
+            "Gas_Price": Box(0, 7, (h + 1,)),
+        })
