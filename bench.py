@@ -19,8 +19,11 @@ import time
 # per step, /root/reference/sustaingym/envs/building/env.py:266).
 REF_BASELINE_STEPS_PER_S = {
     "building": 15182.0,
-    "cogen": None,       # reference cannot run here (onnxruntime + model.onnx absent)
-    "evcharging": None,  # reference cannot run here (acnportal + cvxpy absent)
+    "cogen": None,        # reference cannot run here (onnxruntime + model.onnx absent)
+    # reference cannot run here (acnportal + cvxpy absent); its wall-time
+    # notebook axis annotations imply ~1e2 steps/s with projection on 1 CPU
+    # (examples/evcharging/wall_time_ev_charging.ipynb, BASELINE.md)
+    "evcharging": 100.0,
 }
 
 
@@ -90,6 +93,39 @@ def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
     }
 
 
+def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
+                  **make_kwargs) -> dict:
+    import jax
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.core import batch_rollout, random_policy
+
+    env, params = make(env_name, **make_kwargs)
+    policy = random_policy(env, params, batch)
+
+    @jax.jit
+    def run(key):
+        traj = batch_rollout(env, params, policy, None, key, batch, steps)
+        return traj.reward.sum()
+
+    key = jax.random.PRNGKey(0)
+    run(key).block_until_ready()
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"{env_name}_env_steps_per_s_per_chip",
+        "value": round(batch * steps / best, 1),
+        "unit": "env-steps/s",
+        "batch": batch,
+        "scan_steps": steps,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def measure_reference() -> None:
     """Measures the reference engine on this machine (requires the reference
     tree at /root/reference and the pvlib shim)."""
@@ -137,6 +173,9 @@ def main() -> None:
         result = bench_building(args.batch, args.steps)
     elif args.env == "cogen":
         result = bench_cogen(min(args.batch, 4096), min(args.steps, 96))
+    elif args.env == "evcharging":
+        result = bench_generic("evcharging", min(args.batch, 2048),
+                               min(args.steps, 288))
     else:
         raise SystemExit(f"unknown bench env {args.env}")
 

@@ -1,0 +1,300 @@
+"""EVChargingEnv — pure jittable EV charging-network simulation.
+
+Rebuilds the reference EVChargingEnv
+(/root/reference/sustaingym/envs/evcharging/env.py:20-500) WITHOUT acnportal:
+the ACN-Sim digital twin (Simulator / ChargingNetwork / Linear2StageBattery /
+EventQueue, env.py:324-328) becomes fixed-size station-slot arrays advanced
+by a pure step function, and the per-step MOSEK projection (env.py:200-221)
+becomes a batched fixed-iteration ADMM kernel (ops/qp.py) running on the MXU.
+
+Per step (5 simulated minutes):
+ 1. optional action projection onto the network feasible set;
+ 2. EVSE pilot quantization — AV: {0,8,16,24,32}, CC: {0} U {6..32}
+    (env.py:368-378, round-half-even like np.round);
+ 3. plug/unplug events from the compiled day trace (SURVEY.md §3.1: the
+    reference rebuilds pandas event queues every reset; here reset is an
+    index gather);
+ 4. two-stage battery charging (acnsim Linear2StageBattery semantics:
+    linear taper above transition SoC, period-energy cap);
+ 5. reward = profit - carbon cost - excess network charge (env.py:431-464).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (Box, DictSpace, FunctionalEnv, TimeStep, dataclass,
+                     static_field)
+from ...ops import qp
+from .sites import SiteSpec, load_site
+
+# Reward constants (env.py:99-114)
+TIMESTEP_DURATION = 5
+ACTION_SCALE_FACTOR = 32.0
+VOLTAGE = 208.0
+MARGINAL_PROFIT_PER_KWH = 0.15 * 0.20
+CO2_COST_PER_METRIC_TON = 30.85
+A_MINS_TO_KWH = (1 / 60) * (VOLTAGE / 1000)
+VIOLATION_WEIGHT = 0.001
+A_PERS_TO_KWH = A_MINS_TO_KWH * TIMESTEP_DURATION
+PROFIT_FACTOR = A_PERS_TO_KWH * MARGINAL_PROFIT_PER_KWH
+VIOLATION_FACTOR = A_PERS_TO_KWH * VIOLATION_WEIGHT
+CARBON_COST_FACTOR = A_PERS_TO_KWH * (CO2_COST_PER_METRIC_TON / 1000)
+
+MAX_TIMESTEP = 288
+
+# Battery constants (event_generation.py:59-63,173-176 + acnsim defaults)
+BATTERY_CAPACITY = 100.0
+BATTERY_MAX_POWER = 100.0
+TRANSITION_SOC = 0.8
+
+
+@dataclass
+class EVParams:
+    # data packs
+    moer: jax.Array          # (n_days, 289, 37)
+    ev_data: jax.Array       # (n_days, MAX_EVS, 4) [arr, dep, est, req_kwh]
+    ev_station: jax.Array    # (n_days, MAX_EVS) int32
+    ev_mask: jax.Array       # (n_days, MAX_EVS) bool
+    # network constants
+    constraint_re: jax.Array  # (m, n) Re(A~)
+    constraint_im: jax.Array  # (m, n) Im(A~)
+    magnitudes: jax.Array     # (m,)
+    min_pilots: jax.Array     # (n,)
+    # projection operator
+    proj: qp.SOCProjection
+    # statics
+    n_stations: int = static_field()
+    n_days: int = static_field()
+    max_evs: int = static_field()
+    moer_forecast_steps: int = static_field(default=36)
+    project_action: bool = static_field(default=True)
+    site: str = static_field(default="caltech")
+
+
+@dataclass
+class EVState:
+    day: jax.Array        # int32
+    t: jax.Array          # int32
+    plugged: jax.Array    # (n,) bool
+    dep: jax.Array        # (n,) int32 true departure period
+    est_dep: jax.Array    # (n,) int32 estimated departure period
+    demand: jax.Array     # (n,) float32 remaining demand (kWh)
+
+
+def make_params(site: str = "caltech",
+                date_period="Summer 2021",
+                moer_forecast_steps: int = 36,
+                project_action: bool = True,
+                requested_energy_cap: float = 100.0,
+                proj_iters: int = 50,
+                dtype=jnp.float32) -> EVParams:
+    from ...data.ev_etl import build_moer_pack, build_trace_pack
+    spec: SiteSpec = load_site(site)
+    moer = build_moer_pack(date_period)
+    traces = build_trace_pack(site, date_period, spec.station_ids,
+                              requested_energy_cap=requested_energy_cap)
+    phase = np.exp(1j * np.deg2rad(spec.phase_angles))
+    a_tilde = spec.constraint_matrix * phase[None, :]
+    proj = qp.make_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        action_scale=ACTION_SCALE_FACTOR, iters=proj_iters, dtype=dtype)
+    return EVParams(
+        moer=jnp.asarray(moer, dtype),
+        ev_data=jnp.asarray(traces["ev_data"], dtype),
+        ev_station=jnp.asarray(traces["ev_station"], jnp.int32),
+        ev_mask=jnp.asarray(traces["ev_mask"]),
+        constraint_re=jnp.asarray(a_tilde.real, dtype),
+        constraint_im=jnp.asarray(a_tilde.imag, dtype),
+        magnitudes=jnp.asarray(spec.magnitudes, dtype),
+        min_pilots=jnp.asarray(spec.min_pilots, dtype),
+        proj=proj,
+        n_stations=spec.num_stations,
+        n_days=int(moer.shape[0]),
+        max_evs=int(traces["ev_data"].shape[1]),
+        moer_forecast_steps=int(moer_forecast_steps),
+        project_action=bool(project_action),
+        site=site,
+    )
+
+
+def quantize_pilots(norm_action: jax.Array, min_pilots: jax.Array
+                    ) -> jax.Array:
+    """normalized [0,1] action -> pilot signal in amps (env.py:366-378)."""
+    amps = norm_action * ACTION_SCALE_FACTOR
+    cc = jnp.where(amps >= 6.0, jnp.round(amps), 0.0)
+    av = jnp.round(amps / 8.0) * 8.0
+    return jnp.where(min_pilots == 6.0, cc, av)
+
+
+def battery_charge(pilot_amps: jax.Array, demand: jax.Array,
+                   plugged: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Two-stage battery model, vectorized over stations.
+
+    SoC relation: every EV battery has capacity 100 kWh with initial charge
+    (100 - requested) (event_generation.py:173-176), so
+    soc = 1 - demand / capacity at all times.
+
+    Returns (actual charging rate in A, energy delivered in kWh).
+    """
+    pilot_kw = pilot_amps * VOLTAGE / 1000.0
+    soc = 1.0 - demand / BATTERY_CAPACITY
+    taper_kw = BATTERY_MAX_POWER * (1.0 - soc) / (1.0 - TRANSITION_SOC)
+    cap_kw = jnp.where(soc < TRANSITION_SOC, BATTERY_MAX_POWER, taper_kw)
+    power = jnp.minimum(pilot_kw, cap_kw)
+    # cannot exceed remaining capacity within one period
+    power = jnp.minimum(power, demand * (60.0 / TIMESTEP_DURATION))
+    power = jnp.where(plugged, jnp.maximum(power, 0.0), 0.0)
+    energy = power * (TIMESTEP_DURATION / 60.0)
+    rate_amps = power * 1000.0 / VOLTAGE
+    return rate_amps, energy
+
+
+class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
+    name = "evcharging"
+
+    # ---- seeding --------------------------------------------------------
+    @staticmethod
+    def day_from_seed(params: EVParams, seed: int) -> int:
+        """Sequential-day mapping of RealTraceGenerator.set_seed
+        (event_generation.py:273-281)."""
+        return seed % params.n_days
+
+    # ---- pure API -------------------------------------------------------
+    def reset(self, params: EVParams, key: jax.Array
+              ) -> tuple[EVState, TimeStep]:
+        day = jax.random.randint(key, (), 0, params.n_days)
+        return self.reset_at_day(params, day)
+
+    def reset_at_day(self, params: EVParams, day) -> tuple[EVState, TimeStep]:
+        n = params.n_stations
+        dtype = params.moer.dtype
+        state = EVState(
+            day=jnp.asarray(day, jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+            plugged=jnp.zeros(n, bool),
+            dep=jnp.zeros(n, jnp.int32),
+            est_dep=jnp.zeros(n, jnp.int32),
+            demand=jnp.zeros(n, dtype))
+        ts = TimeStep(
+            obs=self._obs(params, state),
+            reward=jnp.zeros((), dtype),
+            terminated=jnp.zeros((), bool),
+            truncated=jnp.zeros((), bool),
+            info=self._info(params, state, jnp.zeros((), dtype),
+                            jnp.zeros((), dtype), jnp.zeros((), dtype)))
+        return state, ts
+
+    def step(self, params: EVParams, state: EVState, action: jax.Array,
+             key: jax.Array) -> tuple[EVState, TimeStep]:
+        del key
+        dtype = params.moer.dtype
+        n = params.n_stations
+        action = jnp.clip(jnp.asarray(action, dtype), 0.0, 1.0)
+
+        # 1) feasibility projection (env.py:200-221): upper bound is
+        #    min(1, demand / A_PERS_TO_KWH / 32) from the CURRENT obs demands
+        if params.project_action:
+            demands_obs = jnp.where(state.plugged, state.demand, 0.0)
+            ub = jnp.minimum(
+                1.0, demands_obs / A_PERS_TO_KWH / ACTION_SCALE_FACTOR)
+            action = qp.project(params.proj, action, ub)
+
+        # 2) pilot quantization
+        pilots = quantize_pilots(action, params.min_pilots)
+
+        # 3) events at iteration t: unplug (departure == t), then plug
+        t = state.t
+        plugged = jnp.where(state.dep == t, False, state.plugged)
+
+        ev = params.ev_data[state.day]          # (max_evs, 4)
+        ev_station = params.ev_station[state.day]
+        ev_mask = params.ev_mask[state.day]
+        arrive = (ev[:, 0].astype(jnp.int32) == t) & ev_mask
+        idx = jnp.where(arrive, ev_station, n)  # scatter-dummy index n
+
+        plugged = jnp.zeros(n + 1, bool).at[idx].set(True)[:n] | plugged
+        dep = jnp.concatenate([state.dep, jnp.zeros(1, jnp.int32)]) \
+            .at[idx].set(ev[:, 1].astype(jnp.int32))[:n]
+        est_dep = jnp.concatenate([state.est_dep, jnp.zeros(1, jnp.int32)]) \
+            .at[idx].set(ev[:, 2].astype(jnp.int32))[:n]
+        demand = jnp.concatenate([state.demand, jnp.zeros(1, dtype)]) \
+            .at[idx].set(ev[:, 3])[:n]
+
+        # 4) charge batteries at quantized pilots
+        rates, energy = battery_charge(pilots, demand, plugged)
+        demand = demand - energy
+
+        # 5) reward (env.py:431-464): carbon/prev-moer row is the
+        #    post-increment timestep t+1
+        total_rate = jnp.sum(rates)
+        profit = PROFIT_FACTOR * total_rate
+        agg_re = params.constraint_re @ pilots
+        agg_im = params.constraint_im @ pilots
+        current_mag = jnp.sqrt(agg_re ** 2 + agg_im ** 2)
+        excess = jnp.sum(jax.nn.relu(current_mag - params.magnitudes))
+        excess_charge = excess * VIOLATION_FACTOR
+        moer_now = params.moer[state.day, t + 1, 0]
+        carbon_cost = CARBON_COST_FACTOR * total_rate * moer_now
+        reward = profit - carbon_cost - excess_charge
+
+        new_state = EVState(day=state.day, t=t + 1, plugged=plugged,
+                            dep=dep, est_dep=est_dep, demand=demand)
+        terminated = (t + 1) >= MAX_TIMESTEP
+        ts = TimeStep(
+            obs=self._obs(params, new_state),
+            reward=reward,
+            terminated=terminated,
+            truncated=jnp.zeros((), bool),
+            info=self._info(params, new_state, profit, carbon_cost,
+                            excess_charge))
+        return new_state, ts
+
+    # ---- obs/info -------------------------------------------------------
+    def _obs(self, params: EVParams, state: EVState) -> dict[str, jax.Array]:
+        """(env.py:381-394)"""
+        dtype = params.moer.dtype
+        t = state.t
+        k = params.moer_forecast_steps
+        est = jnp.where(state.plugged,
+                        (state.est_dep - t).astype(dtype), 0.0)
+        demands = jnp.where(state.plugged, state.demand, 0.0)
+        moer_row = params.moer[state.day, t]
+        return {
+            "timestep": (t / MAX_TIMESTEP).astype(dtype)[None],
+            "est_departures": est,
+            "demands": demands,
+            "prev_moer": moer_row[0][None],
+            "forecasted_moer": jax.lax.dynamic_slice(moer_row, (1,), (k,)),
+        }
+
+    def _info(self, params: EVParams, state: EVState, profit, carbon,
+              excess) -> dict[str, jax.Array]:
+        ev = params.ev_data[state.day]
+        mask = params.ev_mask[state.day]
+        dur = (ev[:, 1] - ev[:, 0]) * mask
+        max_kwh = jnp.minimum(ev[:, 3],
+                              dur * ACTION_SCALE_FACTOR * A_PERS_TO_KWH)
+        return {
+            "profit": profit,
+            "carbon_cost": carbon,
+            "excess_charge": excess,
+            "max_profit": jnp.sum(
+                max_kwh * mask * MARGINAL_PROFIT_PER_KWH),
+            "num_evs": jnp.sum(mask).astype(jnp.int32),
+        }
+
+    # ---- metadata -------------------------------------------------------
+    def observation_space(self, params: EVParams) -> DictSpace:
+        n = params.n_stations
+        return DictSpace({
+            "timestep": Box(0, 1, (1,)),
+            "est_departures": Box(-288, 288, (n,)),
+            "demands": Box(0, 100, (n,)),
+            "prev_moer": Box(0, 1, (1,)),
+            "forecasted_moer": Box(0, 1, (params.moer_forecast_steps,)),
+        })
+
+    def action_space(self, params: EVParams) -> Box:
+        return Box(0.0, 1.0, (params.n_stations,))

@@ -1,0 +1,3 @@
+from . import qp
+
+__all__ = ["qp"]

