@@ -1,0 +1,285 @@
+"""Sharded PPO learner — the engine's replacement for the reference's
+RLLib/SB3 training harnesses (/root/reference/examples/evcharging/
+train_rllib.py:138-164, train_stable_baselines.py:264-292).
+
+Design: actors and learner are fused into ONE jitted SPMD program per
+iteration — a `lax.scan` rollout over vmapped envs (autoreset), GAE, and
+minibatched clipped-PPO epochs. The env-state/trajectory batch axis is
+sharded over the mesh's ``dp`` axis and the policy MLP's hidden dimension
+over ``mp``; gradient/metric all-reduce is XLA-inserted (no explicit
+NCCL/Ray analog — SURVEY.md §2.2, §5 'communication backend').
+
+The policy is a diag-Gaussian tanh MLP over flattened observations; discrete
+action components (cogen switches/bays, discretized wrappers) are handled by
+the per-env action transform in ``act_transform``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import FunctionalEnv, autoreset_step, flatten
+from ..core.struct import dataclass, static_field
+
+__all__ = ["PPOConfig", "init_policy", "policy_apply", "make_train_step",
+           "train", "flat_obs_fn"]
+
+
+@dataclass
+class PPOConfig:
+    num_envs: int = static_field(default=256)
+    rollout_len: int = static_field(default=64)
+    hidden: int = static_field(default=256)
+    epochs: int = static_field(default=4)
+    minibatches: int = static_field(default=8)
+    lr: float = static_field(default=3e-4)
+    gamma: float = static_field(default=0.99)
+    lam: float = static_field(default=0.95)
+    clip_eps: float = static_field(default=0.2)
+    vf_coef: float = static_field(default=0.5)
+    ent_coef: float = static_field(default=0.0)
+    max_grad_norm: float = static_field(default=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX MLP actor-critic (plain pytree params — trivially shardable)
+# ---------------------------------------------------------------------------
+
+def init_policy(key: jax.Array, obs_dim: int, act_dim: int,
+                hidden: int = 256, dtype=jnp.float32) -> dict[str, Any]:
+    k = jax.random.split(key, 5)
+
+    def dense(k, din, dout):
+        scale = np.sqrt(2.0 / din)
+        return {"w": jax.random.normal(k, (din, dout), dtype) * scale,
+                "b": jnp.zeros((dout,), dtype)}
+
+    return {
+        "trunk1": dense(k[0], obs_dim, hidden),
+        "trunk2": dense(k[1], hidden, hidden),
+        "mu": dense(k[2], hidden, act_dim),
+        "value": dense(k[3], hidden, 1),
+        "log_std": jnp.full((act_dim,), -0.5, dtype),
+    }
+
+
+def policy_apply(params: dict[str, Any], obs: jax.Array
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """obs (..., obs_dim) -> (mu, log_std, value). The hidden dimension is
+    the tensor-parallel axis: sharding trunk1.w's output dim over ``mp``
+    makes XLA all-reduce the trunk2 matmul over the mesh."""
+    h = jnp.tanh(obs @ params["trunk1"]["w"] + params["trunk1"]["b"])
+    h = jnp.tanh(h @ params["trunk2"]["w"] + params["trunk2"]["b"])
+    mu = h @ params["mu"]["w"] + params["mu"]["b"]
+    value = (h @ params["value"]["w"] + params["value"]["b"])[..., 0]
+    return mu, params["log_std"], value
+
+
+def _gauss_logp(mu, log_std, a):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(-0.5 * ((a - mu) ** 2 / var + 2 * log_std
+                           + jnp.log(2 * jnp.pi)), axis=-1)
+
+
+def flat_obs_fn(env: FunctionalEnv, params) -> Callable[[Any], jax.Array]:
+    """Returns obs -> flat float32 vector using the env's space (mirrors
+    gymnasium FlattenObservation used by the reference harnesses,
+    examples/evcharging/train_rllib.py:105)."""
+    space = env.observation_space(params)
+
+    def fn(obs):
+        return flatten(space, obs)
+
+    return fn
+
+
+def default_act_transform(env: FunctionalEnv, params):
+    """Maps the policy's unbounded output to the env's Box action space via
+    tanh squashing."""
+    space = env.action_space(params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(space.high, jnp.float32)
+
+    def fn(u):
+        return low + (jnp.tanh(u) * 0.5 + 0.5) * (high - low)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Training step
+# ---------------------------------------------------------------------------
+
+def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
+                    act_transform=None, obs_fn=None):
+    """Builds (init_state, train_step) where train_step is one fused
+    rollout+update program: jit it with shardings from parallel.mesh."""
+    step_fn = autoreset_step(env)
+    vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
+    obs_fn = obs_fn or flat_obs_fn(env, env_params)
+    act_transform = act_transform or default_act_transform(env, env_params)
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr))
+
+    space = env.action_space(env_params)
+    act_dim = int(np.prod(space.shape)) if space.shape else 1
+
+    def init_state(key):
+        kp, kr = jax.random.split(key)
+        keys = jax.random.split(kr, cfg.num_envs)
+        states, ts = jax.vmap(env.reset, in_axes=(None, 0))(env_params, keys)
+        obs = jax.vmap(obs_fn)(ts.obs)
+        policy = init_policy(kp, obs.shape[-1], act_dim, cfg.hidden)
+        return {"policy": policy, "opt": opt.init(policy),
+                "env_states": states, "obs": obs}
+
+    def rollout(policy, env_states, obs, key):
+        def body(carry, key_t):
+            states, obs = carry
+            k_act, k_env = jax.random.split(key_t)
+            mu, log_std, value = policy_apply(policy, obs)
+            u = mu + jnp.exp(log_std) * jax.random.normal(
+                k_act, mu.shape, mu.dtype)
+            logp = _gauss_logp(mu, log_std, u)
+            action = act_transform(u)
+            env_keys = jax.random.split(k_env, cfg.num_envs)
+            states, ts = vstep(env_params, states, action, env_keys)
+            next_obs = jax.vmap(obs_fn)(ts.obs)
+            out = {"obs": obs, "u": u, "logp": logp, "value": value,
+                   "reward": ts.reward, "done": ts.done}
+            return (states, next_obs), out
+
+        keys = jax.random.split(key, cfg.rollout_len)
+        (env_states, obs), traj = jax.lax.scan(
+            body, (env_states, obs), keys)
+        _, _, last_value = policy_apply(policy, obs)
+        return env_states, obs, traj, last_value
+
+    def gae(traj, last_value):
+        def body(carry, x):
+            adv_next, v_next = carry
+            value, reward, done = x
+            nonterm = 1.0 - done.astype(reward.dtype)
+            delta = reward + cfg.gamma * v_next * nonterm - value
+            adv = delta + cfg.gamma * cfg.lam * nonterm * adv_next
+            return (adv, value), adv
+
+        (_, _), advs = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (traj["value"], traj["reward"], traj["done"]), reverse=True)
+        return advs, advs + traj["value"]
+
+    def loss_fn(policy, batch):
+        mu, log_std, value = policy_apply(policy, batch["obs"])
+        logp = _gauss_logp(mu, log_std, batch["u"])
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+        vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
+        ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+        return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent}
+
+    def train_step(carry, key):
+        policy, opt_state = carry["policy"], carry["opt"]
+        k_roll, k_perm = jax.random.split(key)
+        env_states, obs, traj, last_value = rollout(
+            policy, carry["env_states"], carry["obs"], k_roll)
+        advs, rets = gae(traj, last_value)
+
+        n = cfg.rollout_len * cfg.num_envs
+        flat = {
+            "obs": traj["obs"].reshape(n, -1),
+            "u": traj["u"].reshape(n, -1),
+            "logp": traj["logp"].reshape(n),
+            "adv": advs.reshape(n),
+            "ret": rets.reshape(n),
+        }
+
+        mb = n // cfg.minibatches
+
+        def epoch(carry, key_e):
+            policy, opt_state = carry
+            perm = jax.random.permutation(key_e, n)
+
+            def minibatch(carry, idx):
+                policy, opt_state = carry
+                batch = jax.tree.map(lambda x: x[idx], flat)
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(policy, batch)
+                updates, opt_state = opt.update(grads, opt_state, policy)
+                policy = optax.apply_updates(policy, updates)
+                return (policy, opt_state), metrics
+
+            idxs = perm[:mb * cfg.minibatches].reshape(cfg.minibatches, mb)
+            (policy, opt_state), metrics = jax.lax.scan(
+                minibatch, (policy, opt_state), idxs)
+            return (policy, opt_state), metrics
+
+        (policy, opt_state), metrics = jax.lax.scan(
+            epoch, (policy, opt_state), jax.random.split(k_perm, cfg.epochs))
+
+        new_carry = {"policy": policy, "opt": opt_state,
+                     "env_states": env_states, "obs": obs}
+        out_metrics = {
+            "mean_reward": traj["reward"].mean(),
+            "episode_done_frac": traj["done"].mean(),
+            **{k: v.mean() for k, v in metrics.items()},
+        }
+        return new_carry, out_metrics
+
+    return init_state, train_step
+
+
+def train(env: FunctionalEnv, env_params, cfg: PPOConfig, key: jax.Array,
+          num_iterations: int, mesh=None, verbose: bool = True):
+    """Runs PPO; with a mesh, shards env/trajectory batch over 'dp' and
+    policy hidden over 'mp'."""
+    init_state, train_step = make_train_step(env, env_params, cfg)
+    k_init, k_train = jax.random.split(key)
+    carry = init_state(k_init)
+
+    if mesh is not None:
+        from .mesh import data_sharding, model_sharding, replicated
+        ds, rep = data_sharding(mesh), replicated(mesh)
+        carry = _shard_carry(carry, mesh, ds, rep)
+
+    step = jax.jit(train_step, donate_argnums=0)
+    history = []
+    for i in range(num_iterations):
+        carry, metrics = step(carry, jax.random.fold_in(k_train, i))
+        metrics = {k: float(v) for k, v in metrics.items()}
+        history.append(metrics)
+        if verbose:
+            print(f"iter {i}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in metrics.items()))
+    return carry, history
+
+
+def _shard_carry(carry, mesh, ds, rep):
+    from .mesh import model_sharding
+
+    def place(path, x):
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p)
+                        for p in path)
+        if name.startswith("env_states") or name.startswith("obs"):
+            return jax.device_put(x, ds)
+        # Megatron-style MLP TP: trunk1 column-parallel (out-dim + bias
+        # sharded over mp), trunk2 row-parallel (in-dim sharded; XLA inserts
+        # the all-reduce after the trunk2 matmul)
+        if "trunk1/w" in name or "trunk1/b" in name:
+            return jax.device_put(x, model_sharding(mesh, x.ndim - 1))
+        if "trunk2/w" in name:
+            return jax.device_put(x, model_sharding(mesh, 0))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(place, carry)
