@@ -1,0 +1,295 @@
+"""ElectricityMarketEnv — battery bidding into a 5-min SCED market.
+
+Implemented FROM THE DOC SPEC (/root/reference/docs/electricitymarketenv.md;
+no reference code exists — registration commented out at
+/root/reference/sustaingym/__init__.py:9-12):
+
+- 24-bus IEEE RTS-24 congested network, 33 generators bidding true cost,
+  one 80 MWh battery (the agent) submitting charge/discharge price bids for
+  the next k settlement intervals;
+- every 5-min step the market operator clears a multi-interval SCED
+  (ops/lp.py PDHG kernel — batched, fixed iterations, prices = equality
+  duals), producing the clearing price p_t and the agent dispatch x_t;
+- reward r(t) = p_t x_t + P_CO2 m_t x_t - c_T(t) (revenue + displaced
+  carbon value - terminal state-of-charge penalty), with the doc's option
+  to defer all reward to the terminal step;
+- distribution shift via the data month (demand level + MOER source data).
+
+Demand traces are synthesized deterministically (CAISO-like diurnal shape
+scaled to the RTS peak; RTS-GMLC load files are not packaged anywhere in the
+reference), MOER comes from the packaged SGIP CAISO data.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (Box, DictSpace, FunctionalEnv, TimeStep, dataclass,
+                     static_field)
+from ...ops import lp
+from . import network as net_mod
+from .network import (BATTERY_CAPACITY_MWH, BATTERY_EFFICIENCY,
+                      BATTERY_POWER_MW, build_network, build_sced_matrices)
+
+T_STEPS = 288
+TAU_H = 1.0 / 12.0
+P_CO2 = 30.85 / 1000.0     # $/kg CO2 (EV env carbon price, env.py:107)
+MAX_BID = 1000.0           # $/MWh cap on battery bids
+
+
+@dataclass
+class MarketParams:
+    # static SCED structure
+    op: lp.LPOperator
+    ub: jax.Array           # (n,) variable upper bounds
+    gen_cost_tiled: jax.Array   # (n_gen * k,)
+    line_rating: jax.Array  # (nl,)
+    load_sf: jax.Array      # (nl,) PTDF @ load distribution
+    # data
+    load: jax.Array         # (n_days, 289 + k) MW system load (padded)
+    moer: jax.Array         # (n_days, 289, 37) kg CO2 / kWh
+    # statics
+    n_gen: int = static_field()
+    n_lines: int = static_field()
+    horizon: int = static_field()
+    n_days: int = static_field()
+    ic: int = static_field()
+    id: int = static_field()
+    intermediate_rewards: bool = static_field(default=True)
+
+
+@dataclass
+class MarketState:
+    day: jax.Array          # int32
+    t: jax.Array            # int32
+    energy: jax.Array       # MWh in battery
+    energy0: jax.Array      # initial MWh (terminal penalty target)
+    prev_action: jax.Array  # (2k,)
+    prev_dispatch: jax.Array
+    prev_price: jax.Array
+    cum_reward: jax.Array
+    price_sum: jax.Array    # running sum for terminal penalty price
+
+
+def _synthesize_load(n_days: int, month: int, seed: int = 7) -> np.ndarray:
+    """Deterministic CAISO-like system load at 5-min resolution."""
+    rng = np.random.default_rng(seed + month)
+    steps = T_STEPS + 1
+    t = np.arange(steps) / T_STEPS
+    season = 1.0 + 0.12 * np.cos(2 * np.pi * (month - 7.5) / 12.0)
+    out = np.empty((n_days, steps))
+    for d in range(n_days):
+        base = (0.62 - 0.10 * np.cos(2 * np.pi * (t - 0.08))
+                + 0.16 * np.exp(-0.5 * ((t - 0.79) / 0.09) ** 2)   # evening pk
+                + 0.05 * np.exp(-0.5 * ((t - 0.5) / 0.2) ** 2))
+        ar = rng.normal(scale=0.004, size=steps).cumsum()
+        out[d] = net_mod.PEAK_LOAD_MW * np.clip(
+            season * (base + 0.03 * rng.normal() + ar), 0.35, 0.95)
+    return out
+
+
+def make_params(month: str = "2021-05",
+                horizon: int = 4,
+                lp_iters: int = 500,
+                intermediate_rewards: bool = True,
+                moer_ba: str = "SGIP_CAISO_PGE",
+                dtype=jnp.float32) -> MarketParams:
+    from ...data.ev_etl import build_moer_pack
+
+    y, m = (int(s) for s in month.split("-"))
+    first = dt.date(y, m, 1)
+    last = (dt.date(y + 1, 1, 1) if m == 12 else dt.date(y, m + 1, 1)) \
+        - dt.timedelta(days=1)
+    moer = build_moer_pack((first.isoformat(), last.isoformat()), ba=moer_ba)
+    n_days = moer.shape[0]
+
+    net = build_network()
+    mats = build_sced_matrices(net, horizon)
+    op = lp.make_lp_operator(mats["A"], mats["G"], iters=lp_iters,
+                             dtype=dtype)
+    load = _synthesize_load(n_days, m)
+    # pad horizon steps with the head of the next day for lookahead
+    pad = np.roll(load, -1, axis=0)[:, :horizon]
+    load = np.concatenate([load, pad], axis=1)
+
+    return MarketParams(
+        op=op,
+        ub=jnp.asarray(mats["ub"], dtype),
+        gen_cost_tiled=jnp.asarray(np.tile(net.gen_cost, horizon), dtype),
+        line_rating=jnp.asarray(net.line_rating, dtype),
+        load_sf=jnp.asarray(mats["load_sf"], dtype),
+        load=jnp.asarray(load, dtype),
+        moer=jnp.asarray(moer, dtype),
+        n_gen=net.n_gen, n_lines=net.n_lines, horizon=horizon,
+        n_days=n_days, ic=mats["ic"], id=mats["id"],
+        intermediate_rewards=intermediate_rewards,
+    )
+
+
+class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
+    name = "electricitymarket"
+
+    @staticmethod
+    def day_from_seed(params: MarketParams, seed: int) -> int:
+        return seed % params.n_days
+
+    def reset(self, params: MarketParams, key: jax.Array
+              ) -> tuple[MarketState, TimeStep]:
+        day = jax.random.randint(key, (), 0, params.n_days)
+        return self.reset_at_day(params, day)
+
+    def reset_at_day(self, params: MarketParams, day
+                     ) -> tuple[MarketState, TimeStep]:
+        dtype = params.load.dtype
+        k = params.horizon
+        e0 = jnp.asarray(BATTERY_CAPACITY_MWH / 2.0, dtype)
+        state = MarketState(
+            day=jnp.asarray(day, jnp.int32), t=jnp.zeros((), jnp.int32),
+            energy=e0, energy0=e0,
+            prev_action=jnp.zeros(2 * k, dtype),
+            prev_dispatch=jnp.zeros((), dtype),
+            prev_price=jnp.zeros((), dtype),
+            cum_reward=jnp.zeros((), dtype),
+            price_sum=jnp.zeros((), dtype))
+        ts = TimeStep(obs=self._obs(params, state),
+                      reward=jnp.zeros((), dtype),
+                      terminated=jnp.zeros((), bool),
+                      truncated=jnp.zeros((), bool),
+                      info=self._zero_info(params))
+        return state, ts
+
+    def clear_market(self, params: MarketParams, state: MarketState,
+                     action: jax.Array) -> dict[str, jax.Array]:
+        """Builds and solves the SCED LP for the current step."""
+        k = params.horizon
+        action = jnp.asarray(action, params.load.dtype)
+        a_charge = action[:k]
+        a_discharge = action[k:]
+
+        c = jnp.concatenate([params.gen_cost_tiled, -a_charge, a_discharge])
+        loads = jax.lax.dynamic_slice(params.load[state.day],
+                                      (state.t,), (k,))
+        b = loads
+
+        # h rows follow build_sced_matrices order: per tau (+flows, -flows),
+        # then per tau (energy-upper, energy-lower)
+        flow_h = []
+        for tau in range(k):
+            base = params.load_sf * loads[tau]
+            flow_h.append(params.line_rating + base)
+            flow_h.append(params.line_rating - base)
+        e_room = BATTERY_CAPACITY_MWH - state.energy
+        energy_h = jnp.stack([e_room, state.energy])
+        h = jnp.concatenate(flow_h + [jnp.tile(energy_h, k)])
+
+        sol = lp.solve_lp(params.op, c, b, h,
+                          jnp.zeros_like(params.ub), params.ub)
+        price = -sol.y[0]
+        charge = sol.x[params.ic]
+        discharge = sol.x[params.id]
+        return {"price": price, "charge": charge, "discharge": discharge,
+                "gen_dispatch": sol.x[:params.n_gen]}
+
+    def step(self, params: MarketParams, state: MarketState,
+             action: jax.Array, key: jax.Array
+             ) -> tuple[MarketState, TimeStep]:
+        del key
+        dtype = params.load.dtype
+        action = jnp.clip(jnp.asarray(action, dtype), 0.0, MAX_BID)
+
+        cleared = self.clear_market(params, state, action)
+        price = cleared["price"]
+        c0, d0 = cleared["charge"], cleared["discharge"]
+
+        dispatch_mwh = (d0 - c0) * TAU_H
+        energy = jnp.clip(
+            state.energy + (BATTERY_EFFICIENCY * c0 - d0 / BATTERY_EFFICIENCY)
+            * TAU_H, 0.0, BATTERY_CAPACITY_MWH)
+
+        t = state.t
+        moer_kg_mwh = params.moer[state.day, t, 0] * 1000.0
+        revenue = price * dispatch_mwh
+        carbon_value = P_CO2 * moer_kg_mwh * dispatch_mwh
+        step_reward = revenue + carbon_value
+
+        t_next = t + 1
+        terminated = t_next >= T_STEPS
+        price_sum = state.price_sum + price
+        avg_price = price_sum / t_next.astype(dtype)
+        # terminal penalty: missing energy valued at twice the day's
+        # average clearing price (doc: encourage same start/end level)
+        terminal_cost = jnp.where(
+            terminated,
+            2.0 * avg_price * jnp.maximum(state.energy0 - energy, 0.0),
+            0.0)
+        step_reward = step_reward - terminal_cost
+
+        cum = state.cum_reward + step_reward
+        if params.intermediate_rewards:
+            reward = step_reward
+        else:
+            reward = jnp.where(terminated, cum, 0.0)
+
+        new_state = MarketState(
+            day=state.day, t=t_next, energy=energy, energy0=state.energy0,
+            prev_action=action, prev_dispatch=dispatch_mwh,
+            prev_price=price, cum_reward=cum, price_sum=price_sum)
+        ts = TimeStep(
+            obs=self._obs(params, new_state),
+            reward=reward, terminated=terminated,
+            truncated=jnp.zeros((), bool),
+            info={
+                "price": price,
+                "dispatch_mwh": dispatch_mwh,
+                "energy_level": energy,
+                "revenue": revenue,
+                "carbon_value": carbon_value,
+                "terminal_cost": terminal_cost,
+            })
+        return new_state, ts
+
+    # ---- obs ------------------------------------------------------------
+    def _obs(self, params: MarketParams, state: MarketState
+             ) -> dict[str, jax.Array]:
+        k = params.horizon
+        dtype = params.load.dtype
+        t = state.t
+        day = state.day
+        load_fc = jax.lax.dynamic_slice(params.load[day], (t,), (k,))
+        moer_row = params.moer[day, t]
+        return {
+            "time": (t / T_STEPS).astype(dtype)[None],
+            "energy_level": state.energy[None],
+            "prev_action": state.prev_action,
+            "prev_dispatch": state.prev_dispatch[None],
+            "prev_price": state.prev_price[None],
+            "load_forecast": load_fc,
+            "prev_moer": moer_row[0][None],
+            "moer_forecast": jax.lax.dynamic_slice(moer_row, (1,), (k,)),
+        }
+
+    def _zero_info(self, params: MarketParams) -> dict[str, jax.Array]:
+        z = jnp.zeros((), params.load.dtype)
+        return {"price": z, "dispatch_mwh": z, "energy_level": z,
+                "revenue": z, "carbon_value": z, "terminal_cost": z}
+
+    # ---- metadata --------------------------------------------------------
+    def observation_space(self, params: MarketParams) -> DictSpace:
+        k = params.horizon
+        return DictSpace({
+            "time": Box(0, 1, (1,)),
+            "energy_level": Box(0, BATTERY_CAPACITY_MWH, (1,)),
+            "prev_action": Box(0, MAX_BID, (2 * k,)),
+            "prev_dispatch": Box(-BATTERY_POWER_MW * TAU_H,
+                                 BATTERY_POWER_MW * TAU_H, (1,)),
+            "prev_price": Box(-MAX_BID, MAX_BID, (1,)),
+            "load_forecast": Box(0, 4000, (k,)),
+            "prev_moer": Box(0, 1, (1,)),
+            "moer_forecast": Box(0, 1, (k,)),
+        })
+
+    def action_space(self, params: MarketParams) -> Box:
+        return Box(0.0, MAX_BID, (2 * params.horizon,))

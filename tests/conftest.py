@@ -17,6 +17,9 @@ import jax  # noqa: E402
 # The image's TPU-tunnel plugin overrides JAX_PLATFORMS at interpreter
 # startup (sitecustomize); force the CPU backend through the config API.
 jax.config.update("jax_platforms", "cpu")
+# float64 available for parity/oracle tests (production code passes explicit
+# float32 dtypes everywhere, so this only widens where tests ask for it)
+jax.config.update("jax_enable_x64", True)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -13,9 +13,6 @@ import pytest
 from .conftest import add_reference_to_path
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp  # noqa: E402
 
 from sustaingym_tpu.envs.building import (  # noqa: E402

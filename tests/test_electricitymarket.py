@@ -1,0 +1,156 @@
+"""ElectricityMarketEnv + LP kernel tests.
+
+No reference implementation exists (doc spec only), so correctness is
+established against scipy.optimize.linprog (HiGHS) on the SAME SCED LPs:
+primal objective, dispatch, and dual prices must match.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import jax
+import jax.numpy as jnp
+
+from sustaingym_tpu.envs import electricitymarket as em
+from sustaingym_tpu.envs.electricitymarket.network import (
+    BATTERY_CAPACITY_MWH, build_network, build_sced_matrices)
+from sustaingym_tpu.ops import lp
+from sustaingym_tpu.core import batch_rollout, random_policy
+
+
+@pytest.fixture(scope="module")
+def env_and_params():
+    return em.make_env(month="2021-05", horizon=4, lp_iters=600)
+
+
+def _scipy_reference(A, G, c, b, h, ub):
+    res = linprog(c, A_ub=G, b_ub=h, A_eq=A, b_eq=b,
+                  bounds=[(0, u) for u in ub], method="highs")
+    assert res.status == 0, res.message
+    return res
+
+
+def test_lp_kernel_vs_scipy_random():
+    rng = np.random.default_rng(0)
+    n, me, mi = 20, 3, 8
+    A = rng.normal(size=(me, n))
+    G = rng.normal(size=(mi, n))
+    c = rng.uniform(0.5, 2.0, n)
+    x_feas = rng.uniform(0.2, 0.8, n)
+    b = A @ x_feas
+    h = G @ x_feas + rng.uniform(0.1, 1.0, mi)
+    ub = np.ones(n)
+
+    op = lp.make_lp_operator(A, G, iters=20000, dtype=jnp.float64)
+    sol = lp.solve_lp(op, jnp.asarray(c), jnp.asarray(b), jnp.asarray(h),
+                      jnp.zeros(n), jnp.asarray(ub))
+    res = _scipy_reference(A, G, c, b, h, ub)
+    np.testing.assert_allclose(float(c @ np.asarray(sol.x)), res.fun,
+                               rtol=1e-3, atol=1e-3)
+    # PDHG's y satisfies y = -df/db; scipy marginals are +df/db
+    np.testing.assert_allclose(np.asarray(sol.y), -res.eqlin.marginals,
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_sced_clearing_vs_scipy(env_and_params):
+    """Full SCED instance: PDHG objective, dispatch and price vs HiGHS."""
+    env, params = env_and_params
+    net = build_network()
+    mats = build_sced_matrices(net, params.horizon)
+    state, _ = env.reset_at_day(params, 0)
+
+    action = jnp.concatenate([
+        jnp.full(params.horizon, 5.0),      # charge bids: pay up to $5
+        jnp.full(params.horizon, 500.0)])   # discharge asks: want $500
+    cleared = env.clear_market(params, state, action)
+
+    # scipy on the same LP
+    k = params.horizon
+    c = np.concatenate([np.tile(net.gen_cost, k),
+                        -np.full(k, 5.0), np.full(k, 500.0)])
+    loads = np.asarray(params.load)[0, :k]
+    b = loads
+    h_parts = []
+    for tau in range(k):
+        base = np.asarray(params.load_sf) * loads[tau]
+        h_parts.append(np.asarray(params.line_rating) + base)
+        h_parts.append(np.asarray(params.line_rating) - base)
+    e0 = float(state.energy)
+    h_parts.append(np.tile([BATTERY_CAPACITY_MWH - e0, e0], k))
+    h = np.concatenate(h_parts)
+    res = _scipy_reference(mats["A"], mats["G"], c, b, h, mats["ub"])
+
+    price_scipy = res.eqlin.marginals[0]  # df/db = marginal cost of load
+    assert abs(float(cleared["price"]) - price_scipy) < 1.5, \
+        (float(cleared["price"]), price_scipy)
+    # with a $5 charge bid and $500 ask the battery should sit idle
+    assert float(cleared["charge"]) < 1.0
+    assert float(cleared["discharge"]) < 1.0
+    # dispatched generation covers load
+    np.testing.assert_allclose(
+        float(np.asarray(cleared["gen_dispatch"]).sum()), loads[0],
+        rtol=2e-2)
+
+
+def test_price_is_marginal_cost(env_and_params):
+    """At moderate load with no congestion, the clearing price equals the
+    marginal unit's cost — merit-order sanity."""
+    env, params = env_and_params
+    state, _ = env.reset_at_day(params, 0)
+    action = jnp.concatenate([jnp.zeros(params.horizon),
+                              jnp.full(params.horizon, 1000.0)])
+    cleared = env.clear_market(params, state, action)
+    p = float(cleared["price"])
+    net = build_network()
+    # plausible marginal costs in the fleet
+    assert 0.0 < p < 160.0
+    # load ~1700-2500 MW -> marginal unit should be coal/oil (>= $10)
+    assert p > 5.0
+
+
+def test_battery_arbitrage_changes_energy(env_and_params):
+    """Aggressive charge bid must buy energy; the battery level rises."""
+    env, params = env_and_params
+    state, _ = env.reset_at_day(params, 0)
+    action = jnp.concatenate([
+        jnp.full(params.horizon, 900.0),   # pay up to $900 to charge
+        jnp.full(params.horizon, 999.0)])  # never discharge
+    state2, ts = env.step(params, state, action, jax.random.PRNGKey(0))
+    assert float(state2.energy) > float(state.energy)
+    assert float(ts.info["dispatch_mwh"]) < 0  # bought from the market
+    assert float(ts.reward) < 0  # paying for energy
+
+
+def test_episode_terminates(env_and_params):
+    env, params = env_and_params
+    state, ts = env.reset_at_day(params, 1)
+    action = jnp.zeros(2 * params.horizon)
+
+    def body(carry, _):
+        st, _ = carry
+        st, ts = env.step(params, st, action, jax.random.PRNGKey(0))
+        return (st, ts.terminated), ts.terminated
+
+    (_, _), terms = jax.lax.scan(body, (state, ts.terminated), None,
+                                 length=288)
+    assert bool(terms[-1]) and not bool(terms[-2])
+
+
+def test_deferred_rewards():
+    env, params = em.make_env(month="2021-05", horizon=2, lp_iters=200,
+                              intermediate_rewards=False)
+    state, _ = env.reset_at_day(params, 0)
+    action = jnp.concatenate([jnp.full(2, 900.0), jnp.full(2, 999.0)])
+    state, ts = env.step(params, state, action, jax.random.PRNGKey(0))
+    assert float(ts.reward) == 0.0  # deferred until terminal step
+
+
+def test_vmap_batch(env_and_params):
+    env, params = env_and_params
+    batch, steps = 8, 4
+    traj = batch_rollout(env, params, random_policy(env, params, batch), None,
+                         jax.random.PRNGKey(0), batch, steps)
+    assert traj.reward.shape == (steps, batch)
+    assert np.all(np.isfinite(np.asarray(traj.reward)))
