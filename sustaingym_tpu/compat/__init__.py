@@ -1,0 +1,46 @@
+"""Host-edge compatibility layer: Gymnasium + PettingZoo APIs.
+
+Importing this module registers the suite's Gymnasium IDs (mirroring
+/root/reference/sustaingym/__init__.py:3-29, plus the two envs the
+reference left unimplemented):
+
+    sustaingym/Building-v0
+    sustaingym/Cogen-v0
+    sustaingym/EVCharging-v0
+    sustaingym/ElectricityMarket-v0
+    sustaingym/DataCenter-v0
+"""
+from __future__ import annotations
+
+from .gym import (BuildingGymEnv, CogenGymEnv, DataCenterGymEnv,
+                  DiscreteActionWrapper, ElectricityMarketGymEnv,
+                  EVChargingGymEnv, FunctionalGymEnv, to_gym_space)
+from .pettingzoo import (MultiAgentBuildingParallelEnv,
+                         MultiAgentCogenParallelEnv,
+                         MultiAgentEVChargingParallelEnv)
+
+
+def _register() -> None:
+    from gymnasium.envs.registration import register, registry
+    specs = {
+        "sustaingym/Building-v0": "sustaingym_tpu.compat.gym:BuildingGymEnv",
+        "sustaingym/Cogen-v0": "sustaingym_tpu.compat.gym:CogenGymEnv",
+        "sustaingym/EVCharging-v0": "sustaingym_tpu.compat.gym:EVChargingGymEnv",
+        "sustaingym/ElectricityMarket-v0":
+            "sustaingym_tpu.compat.gym:ElectricityMarketGymEnv",
+        "sustaingym/DataCenter-v0": "sustaingym_tpu.compat.gym:DataCenterGymEnv",
+    }
+    for env_id, entry in specs.items():
+        if env_id not in registry:
+            register(id=env_id, entry_point=entry, nondeterministic=False)
+
+
+_register()
+
+__all__ = [
+    "FunctionalGymEnv", "BuildingGymEnv", "CogenGymEnv", "EVChargingGymEnv",
+    "ElectricityMarketGymEnv", "DataCenterGymEnv", "DiscreteActionWrapper",
+    "to_gym_space",
+    "MultiAgentBuildingParallelEnv", "MultiAgentCogenParallelEnv",
+    "MultiAgentEVChargingParallelEnv",
+]

@@ -277,14 +277,20 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
 
     # ---- metadata -------------------------------------------------------
     def observation_space(self, params: BuildingParams) -> Box:
+        """obs = [temps(n), out, ground, ghi, occupower/1000].
+
+        Deviation from the reference (env.py:160-176): its bound vector is
+        misaligned with the obs layout (GHI/ground swapped) and gives
+        occupower a positive lower bound while values are negative; here the
+        bounds match the actual layout and occupower is two-sided.
+        """
         n = params.n
         min_t, max_t = params.temp_min, params.temp_max
         heat_max = 1000.0
         low = np.concatenate([
-            np.full(n + 1, min_t), [0], [min_t],
-            [-min_t * OCCU_COEF_LINEAR / 1000]])
+            np.full(n + 2, min_t), [0], [-heat_max]])
         high = np.concatenate([
-            np.full(n + 1, max_t), [heat_max], [max_t], [heat_max]])
+            np.full(n + 2, max_t), [heat_max], [heat_max]])
         return Box(low, high, dtype=jnp.float32)
 
     def action_space(self, params: BuildingParams) -> Box | MultiDiscrete:

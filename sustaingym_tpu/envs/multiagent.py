@@ -1,0 +1,266 @@
+"""Multi-agent views: per-agent leading axes over the single-agent envs.
+
+The reference wraps each env in a PettingZoo ParallelEnv with per-agent
+dicts (/root/reference/sustaingym/envs/{evcharging,building,cogen}/
+multiagent_env.py). TPU-native design (SURVEY.md §7 rule 5): a multi-agent
+env is a VIEW — obs carries an (n_agents, obs_dim) leading axis and reward
+an (n_agents,) axis over the SAME underlying state, so the whole system
+still vmaps/shards as one program. PettingZoo dict adapters live at the
+host edge (sustaingym_tpu.compat).
+
+Views implemented (matching the reference semantics):
+- MultiAgentBuildingEnv: one agent per AC-equipped zone; every agent sees
+  the global obs and the same global reward (building/multiagent_env.py:54,91-97).
+- MultiAgentCogenEnv: agents GT1/GT2/GT3/ST with action-component subsets;
+  per-agent reward = own fuel+ramp+cv + shared non-delivery/4
+  (cogen/multiagent_env.py:50-55,97-101).
+- MultiAgentEVChargingEnv: one agent per station, scalar action each;
+  flattened global obs; optional ``periods_delay`` staleness so other
+  agents' est_departures/demands are delayed (evcharging/multiagent_env.py:
+  100,130-148); global reward / n per agent (:186).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import (Box, DictSpace, FunctionalEnv, TimeStep, dataclass,
+                    flatdim, flatten, static_field)
+from .building.env import BuildingEnv, BuildingParams
+from .cogen.env import ACTION_KEYS, CogenEnv, CogenParams
+from .evcharging.env import EVChargingEnv, EVParams, EVState
+
+__all__ = ["MultiAgentBuildingEnv", "MultiAgentCogenEnv",
+           "MultiAgentEVChargingEnv", "COGEN_AGENTS",
+           "COGEN_AGENT_ACTION_IDX"]
+
+
+# ---------------------------------------------------------------------------
+# Building
+# ---------------------------------------------------------------------------
+
+class MultiAgentBuildingEnv(FunctionalEnv):
+    """Agents = indices of AC-equipped zones. Actions: (n_agents, 1) in
+    [-1, 1]; obs: (n_agents, n+4) global state replicated; rewards:
+    (n_agents,) same global reward."""
+
+    name = "building-multiagent"
+
+    def __init__(self, base: BuildingEnv | None = None):
+        self.base = base or BuildingEnv()
+        self._agent_idx: list[int] | None = None
+
+    def agent_ids(self, params: BuildingParams) -> list[int]:
+        # static agent set: computed once from concrete params (the first
+        # call must be outside jit; reset()/adapter construction does this)
+        if self._agent_idx is None:
+            self._agent_idx = [
+                int(i) for i in np.nonzero(np.asarray(params.ac_map))[0]]
+        return self._agent_idx
+
+    def _expand(self, params, ts: TimeStep) -> TimeStep:
+        n_agents = len(self.agent_ids(params))
+        obs = jnp.broadcast_to(ts.obs, (n_agents,) + ts.obs.shape)
+        reward = jnp.broadcast_to(ts.reward, (n_agents,))
+        return ts.replace(obs=obs, reward=reward)
+
+    def reset(self, params, key):
+        state, ts = self.base.reset(params, key)
+        return state, self._expand(params, ts)
+
+    def reset_at_epoch(self, params, epoch, **kw):
+        state, ts = self.base.reset_at_epoch(params, epoch, **kw)
+        return state, self._expand(params, ts)
+
+    def step(self, params, state, action, key):
+        agents = self.agent_ids(params)
+        action = jnp.reshape(jnp.asarray(action), (len(agents),))
+        full = jnp.zeros(params.n, action.dtype).at[
+            jnp.asarray(agents)].set(action)
+        state, ts = self.base.step(params, state, full, key)
+        return state, self._expand(params, ts)
+
+    def observation_space(self, params):
+        return self.base.observation_space(params)
+
+    def action_space(self, params):
+        return Box(-1.0, 1.0, (len(self.agent_ids(params)), 1))
+
+
+# ---------------------------------------------------------------------------
+# Cogen
+# ---------------------------------------------------------------------------
+
+COGEN_AGENTS = ("GT1", "GT2", "GT3", "ST")
+# per-agent indices into the flat 15-dim action
+# (cogen/multiagent_env.py:50-55)
+COGEN_AGENT_ACTION_IDX = {
+    "GT1": (0, 1, 2, 3),
+    "GT2": (4, 5, 6, 7),
+    "GT3": (8, 9, 10, 11),
+    "ST": (12, 13, 14),
+}
+
+
+class MultiAgentCogenEnv(FunctionalEnv):
+    """Agents GT1/GT2/GT3/ST. Actions: dict agent -> sub-vector (host edge)
+    or the assembled flat 15-vector split per COGEN_AGENT_ACTION_IDX.
+    Obs: (4, obs_flat_dim) global; rewards: (4,) per-agent costs."""
+
+    name = "cogen-multiagent"
+
+    def __init__(self, base: CogenEnv | None = None):
+        self.base = base or CogenEnv()
+
+    def assemble_action(self, agent_actions: dict[str, jax.Array]
+                        ) -> jax.Array:
+        full = jnp.zeros(len(ACTION_KEYS),
+                         jax.tree.leaves(agent_actions)[0].dtype)
+        for agent, idx in COGEN_AGENT_ACTION_IDX.items():
+            full = full.at[jnp.asarray(idx)].set(agent_actions[agent])
+        return full
+
+    def _flat_obs(self, params, obs):
+        return flatten(self.base.observation_space(params), obs)
+
+    def _expand(self, params, ts: TimeStep, rewards: jax.Array) -> TimeStep:
+        flat = self._flat_obs(params, ts.obs)
+        obs = jnp.broadcast_to(flat, (len(COGEN_AGENTS),) + flat.shape)
+        return ts.replace(obs=obs, reward=rewards)
+
+    def reset(self, params, key):
+        state, ts = self.base.reset(params, key)
+        return state, self._expand(
+            params, ts, jnp.zeros(len(COGEN_AGENTS), flat_dtype(params)))
+
+    def step(self, params, state, action, key):
+        action = jnp.reshape(jnp.asarray(action), (len(ACTION_KEYS),))
+        state, ts = self.base.step(params, state, action, key)
+        info = ts.info
+        nd_share = info["non_delivery_cost"] / len(COGEN_AGENTS)
+        fuel = jnp.concatenate([info["fuel_costs"],
+                                jnp.zeros(1, info["fuel_costs"].dtype)])
+        rewards = -(fuel + info["ramp_costs"] + info["dyn_cv_costs"]
+                    + nd_share)
+        return state, self._expand(params, ts, rewards)
+
+    def observation_space(self, params):
+        return self.base.observation_space(params)
+
+    def action_space(self, params):
+        return self.base.action_space(params)
+
+    def agent_action_space(self, params, agent: str) -> Box:
+        space = self.base.action_space(params)
+        idx = list(COGEN_AGENT_ACTION_IDX[agent])
+        return Box(space.low[idx], space.high[idx])
+
+
+def flat_dtype(params: CogenParams):
+    return params.ambients.dtype
+
+
+# ---------------------------------------------------------------------------
+# EV charging
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MAEVParams:
+    base: EVParams
+    periods_delay: int = static_field(default=0)
+
+
+@dataclass
+class MAEVState:
+    base: EVState
+    # staleness ring buffer of past (est_departures, demands), newest last
+    past_obs: jax.Array   # (delay, 2, n) — zeros-shaped (1,2,n) when delay=0
+    prev_flat: jax.Array  # flattened current obs (for convenience)
+
+
+class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
+    """One agent per station. Obs: (n_stations, flat_dim); with
+    ``periods_delay`` > 0, rows i see delayed est_departures/demands for
+    stations != i and current values for themselves."""
+
+    name = "evcharging-multiagent"
+
+    def __init__(self, base: EVChargingEnv | None = None):
+        self.base = base or EVChargingEnv()
+
+    # flat layout mirrors gymnasium.spaces.flatten over the obs Dict in key
+    # insertion order (evcharging/multiagent_env.py:115)
+    def _flat(self, params: EVParams, obs: dict[str, jax.Array]) -> jax.Array:
+        return flatten(self.base.observation_space(params), obs)
+
+    def _agent_obs(self, params: MAEVParams, obs: dict[str, jax.Array],
+                   past: jax.Array) -> jax.Array:
+        n = params.base.n_stations
+        if params.periods_delay == 0:
+            flat = self._flat(params.base, obs)
+            return jnp.broadcast_to(flat, (n,) + flat.shape)
+        stale_est, stale_dem = past[0, 0], past[0, 1]
+        eye = jnp.eye(n, dtype=bool)
+        est = jnp.where(eye, obs["est_departures"][None, :],
+                        stale_est[None, :])     # (n agents, n stations)
+        dem = jnp.where(eye, obs["demands"][None, :], stale_dem[None, :])
+
+        def flat_row(est_row, dem_row):
+            return self._flat(params.base,
+                              {**obs, "est_departures": est_row,
+                               "demands": dem_row})
+
+        return jax.vmap(flat_row)(est, dem)
+
+    def _push(self, params: MAEVParams, past: jax.Array,
+              obs: dict[str, jax.Array]) -> jax.Array:
+        if params.periods_delay == 0:
+            return past
+        new = jnp.stack([obs["est_departures"], obs["demands"]])
+        return jnp.concatenate([past[1:], new[None]], axis=0)
+
+    def reset(self, params: MAEVParams, key):
+        base_state, ts = self.base.reset(params.base, key)
+        return self._after_reset(params, base_state, ts)
+
+    def reset_at_day(self, params: MAEVParams, day):
+        base_state, ts = self.base.reset_at_day(params.base, day)
+        return self._after_reset(params, base_state, ts)
+
+    def _after_reset(self, params, base_state, ts):
+        n = params.base.n_stations
+        delay = max(params.periods_delay, 1)
+        init = jnp.stack([ts.obs["est_departures"], ts.obs["demands"]])
+        past = jnp.broadcast_to(init[None], (delay,) + init.shape)
+        flat = self._flat(params.base, ts.obs)
+        state = MAEVState(base=base_state, past_obs=past, prev_flat=flat)
+        obs = self._agent_obs(params, ts.obs, past)
+        reward = jnp.zeros(n, flat.dtype)
+        return state, ts.replace(obs=obs, reward=reward)
+
+    def step(self, params: MAEVParams, state: MAEVState, action, key):
+        n = params.base.n_stations
+        action = jnp.reshape(jnp.asarray(action), (n,))
+        base_state, ts = self.base.step(params.base, state.base, action, key)
+        # stale values come from the buffer BEFORE pushing the new obs:
+        # the reference pops the (t - delay) entry, then appends obs(t)
+        # (evcharging/multiagent_env.py:131-140)
+        obs = self._agent_obs(params, ts.obs, state.past_obs)
+        past = self._push(params, state.past_obs, ts.obs)
+        flat = self._flat(params.base, ts.obs)
+        new_state = MAEVState(base=base_state, past_obs=past, prev_flat=flat)
+        reward = jnp.broadcast_to(ts.reward / n, (n,))
+        return new_state, ts.replace(obs=obs, reward=reward)
+
+    def observation_space(self, params: MAEVParams):
+        return self.base.observation_space(params.base)
+
+    def action_space(self, params: MAEVParams) -> Box:
+        return Box(0.0, 1.0, (params.base.n_stations, 1))
+
+
+def make_ma_ev_params(periods_delay: int = 0, **kwargs) -> MAEVParams:
+    from .evcharging import make_params
+    return MAEVParams(base=make_params(**kwargs),
+                      periods_delay=periods_delay)

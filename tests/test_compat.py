@@ -1,0 +1,115 @@
+"""Compat-layer conformance tests — the reference's own test strategy
+(SURVEY.md §4): gymnasium env_checker + PettingZoo parallel_api_test +
+seed determinism, applied to the adapters."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import gymnasium
+import gymnasium.utils.env_checker
+from pettingzoo.test import parallel_api_test
+
+import sustaingym_tpu.compat as compat
+
+
+@pytest.fixture(scope="module")
+def building_env():
+    return compat.BuildingGymEnv()
+
+
+def test_gym_registration():
+    import gymnasium
+    env = gymnasium.make("sustaingym/Building-v0")
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (10,)
+    env.close()
+
+
+def test_building_check_env(building_env):
+    gymnasium.utils.env_checker.check_env(building_env,
+                                          skip_render_check=True)
+
+
+def test_building_seed_determinism(building_env):
+    obs1, _ = building_env.reset(seed=42)
+    r1 = [building_env.step(np.zeros(6, np.float32))[1] for _ in range(5)]
+    obs2, _ = building_env.reset(seed=42)
+    r2 = [building_env.step(np.zeros(6, np.float32))[1] for _ in range(5)]
+    np.testing.assert_allclose(obs1, obs2)
+    np.testing.assert_allclose(r1, r2)
+
+
+def test_cogen_gym_dict_api():
+    env = compat.CogenGymEnv(forecast_horizon=2)
+    obs, info = env.reset(seed=3)
+    assert set(obs.keys()) == {"Time", "Prev_Action", "TAMB", "PAMB", "RHAMB",
+                               "Target_Power", "Target_Steam", "Energy_Price",
+                               "Gas_Price"}
+    assert isinstance(obs["Prev_Action"], dict)
+    action = env.action_space.sample()
+    obs, r, term, trunc, info = env.step(action)
+    assert np.isfinite(r)
+    assert "fuel_costs" in info
+
+
+def test_evcharging_gym_roundtrip():
+    env = compat.EVChargingGymEnv()
+    obs, info = env.reset(seed=0)
+    assert set(obs.keys()) == {"timestep", "est_departures", "demands",
+                               "prev_moer", "forecasted_moer"}
+    a = np.ones(54, np.float32)
+    for _ in range(3):
+        obs, r, term, trunc, info = env.step(a)
+    assert "reward_breakdown" in info
+    assert set(info["reward_breakdown"]) == {"profit", "carbon_cost",
+                                             "excess_charge"}
+
+
+def test_discrete_action_wrapper(building_env):
+    wrapped = compat.DiscreteActionWrapper(building_env, bins=5)
+    assert isinstance(wrapped.action_space, gymnasium.spaces.MultiDiscrete)
+    a = wrapped.action_space.sample()
+    cont = wrapped.action(a)
+    assert np.all(cont >= 0) and np.all(cont <= 1)
+    np.testing.assert_allclose(cont, np.asarray(a) / 4.0)
+
+
+# ---------------------------------------------------------------------------
+# PettingZoo
+# ---------------------------------------------------------------------------
+
+def test_ma_building_parallel_api():
+    env = compat.MultiAgentBuildingParallelEnv()
+    parallel_api_test(env, num_cycles=30)
+
+
+def test_ma_cogen_parallel_api():
+    env = compat.MultiAgentCogenParallelEnv(forecast_horizon=2)
+    parallel_api_test(env, num_cycles=30)
+
+
+def test_ma_evcharging_parallel_api():
+    env = compat.MultiAgentEVChargingParallelEnv()
+    parallel_api_test(env, num_cycles=20)
+
+
+def test_ma_evcharging_periods_delay():
+    env = compat.MultiAgentEVChargingParallelEnv(periods_delay=2)
+    obss, _ = env.reset(seed=0)
+    assert len(obss) == 54
+    actions = {a: np.ones(1, np.float32) for a in env.agents}
+    for _ in range(4):
+        obss, rewards, terms, truncs, infos = env.step(actions)
+    # reward split evenly across agents
+    vals = list(rewards.values())
+    assert np.allclose(vals, vals[0])
+
+
+def test_ma_cogen_reward_decomposition():
+    env = compat.MultiAgentCogenParallelEnv(forecast_horizon=2)
+    obss, _ = env.reset(seed=1)
+    actions = {a: env.action_spaces[a].sample() for a in env.agents}
+    obss, rewards, terms, truncs, infos = env.step(actions)
+    assert set(rewards) == {"GT1", "GT2", "GT3", "ST"}
+    assert all(np.isfinite(v) for v in rewards.values())
