@@ -31,8 +31,10 @@ def _register() -> None:
         "sustaingym/DataCenter-v0": "sustaingym_tpu.compat.gym:DataCenterGymEnv",
     }
     for env_id, entry in specs.items():
-        if env_id not in registry:
-            register(id=env_id, entry_point=entry, nondeterministic=False)
+        # claim the ID even if another distribution (e.g. the reference
+        # package in a side-by-side install) registered it first
+        registry.pop(env_id, None)
+        register(id=env_id, entry_point=entry, nondeterministic=False)
 
 
 _register()
