@@ -20,6 +20,9 @@ def building_env():
 
 def test_gym_registration():
     import gymnasium
+    # other test modules import the reference package, which re-registers
+    # the same IDs pointing at its own classes; re-claim ours
+    compat._register()
     env = gymnasium.make("sustaingym/Building-v0")
     obs, info = env.reset(seed=0)
     assert obs.shape == (10,)
