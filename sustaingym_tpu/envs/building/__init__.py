@@ -2,8 +2,10 @@
 from __future__ import annotations
 
 from .env import BuildingEnv, BuildingParams, BuildingState, make_params
+from .datadriven import fit_data_driven
 from .params import (BUILDINGS, GROUND_TEMP, WEATHER, Ufactor, Zone,
                      generate_building_params)
+from .stochastic import StochasticAmbientGenerator, generate_stochastic_ambients
 
 
 def make_env(building: str = "OfficeSmall", weather: str = "Hot_Dry",
@@ -19,4 +21,6 @@ __all__ = [
     "BuildingEnv", "BuildingParams", "BuildingState", "make_params",
     "make_env", "generate_building_params",
     "BUILDINGS", "GROUND_TEMP", "WEATHER", "Ufactor", "Zone",
+    "fit_data_driven", "StochasticAmbientGenerator",
+    "generate_stochastic_ambients",
 ]

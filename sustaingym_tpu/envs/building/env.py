@@ -59,6 +59,10 @@ class BuildingParams:
     temp_min: float = static_field()
     temp_max: float = static_field()
     is_continuous_action: bool = static_field(default=True)
+    # data-driven dynamics mode (reference env.py:436-490 `train()`):
+    # BD_d has n+7 input columns [avg^2, avg, meta^2, meta, ground, out,
+    # action(n), ghi] instead of the physics model's n+4
+    data_driven: bool = static_field(default=False)
 
 
 @dataclass
@@ -219,11 +223,21 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         meta = params.metabolism[epoch]
         occupower = calc_occupower(avg_temp32, meta).astype(dtype)
 
-        # Y = [occupower, ground, out, action(n), ghi] (env.py:243-263)
-        y = jnp.concatenate([
-            jnp.stack([occupower, params.ground_temp[epoch],
-                       params.out_temp[epoch]]),
-            action, params.ghi[epoch][None]])
+        if params.data_driven:
+            # Y = [avg^2, avg, meta^2, meta, ground, out, a(n), ghi]
+            # (env.py:252-257)
+            avg = avg_temp32.astype(dtype)
+            y = jnp.concatenate([
+                jnp.stack([avg * avg, avg, meta * meta, meta,
+                           params.ground_temp[epoch],
+                           params.out_temp[epoch]]),
+                action, params.ghi[epoch][None]])
+        else:
+            # Y = [occupower, ground, out, action(n), ghi] (env.py:243-263)
+            y = jnp.concatenate([
+                jnp.stack([occupower, params.ground_temp[epoch],
+                           params.out_temp[epoch]]),
+                action, params.ghi[epoch][None]])
 
         x_new = params.A_d @ x + params.BD_d @ y
 

@@ -385,6 +385,9 @@ def generate_building_params(
         is_continuous_action: bool = True,
         episode_len: int = 288,
         root: str = "",
+        stochastic_summer_percentage: float | None = None,
+        block_size: int | None = None,
+        stochastic_seed: int | None = None,
 ) -> dict[str, Any]:
     """Compiles all BuildingEnv parameters into plain numpy arrays.
 
@@ -417,12 +420,29 @@ def generate_building_params(
 
     oneyear = weather_data["temp_air"]
     oneyearrad = weather_data["ghi"]
+    # SHGC/GHI normalization always uses the ORIGINAL weather file's max
+    # (the reference reads weather_df after resampling, utils.py:633-636)
+    ghi_max_original = float(np.max(oneyearrad))
+
+    if stochastic_summer_percentage is not None:
+        # resample ambient features from seasonal block-normal fits
+        # (mirrors building/utils.py:594-604)
+        from .stochastic import generate_stochastic_ambients
+        all_data = np.stack((oneyear, oneyearrad, all_ground), axis=1)
+        hours_per_episode = int(episode_len * time_res / 3600)
+        this_block = block_size if block_size is not None else hours_per_episode
+        samples = generate_stochastic_ambients(
+            stochastic_summer_percentage, len(all_data), all_data,
+            this_block, seed=stochastic_seed)
+        oneyear = samples[:, 0]
+        oneyearrad = samples[:, 1]
+        all_ground = samples[:, 2]
 
     all_ground_temp = _interp_to_res(all_ground, time_res)
     out_temp = _interp_to_res(oneyear, time_res)
     solar = _interp_to_res(oneyearrad, time_res)
 
-    ghi_max = float(np.max(oneyearrad))
+    ghi_max = ghi_max_original
     hours_per_step = time_res / 3600.0
     # SHGC scaling converts GHI from Wh to W then applies window gain weight
     # (/root/reference/sustaingym/envs/building/utils.py:633-636)

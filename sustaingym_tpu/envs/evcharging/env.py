@@ -89,12 +89,29 @@ def make_params(site: str = "caltech",
                 project_action: bool = True,
                 requested_energy_cap: float = 100.0,
                 proj_iters: int = 50,
+                trace: str = "real",
+                gmm_days: int = 200,
+                gmm_components: int = 30,
                 dtype=jnp.float32) -> EVParams:
+    """``trace='real'`` compiles the packaged ACN sessions
+    (RealTraceGenerator analogue); ``trace='gmm'`` samples a bank of
+    artificial days from the packaged GMMs (GMMsTraceGenerator analogue,
+    event_generation.py:331-515)."""
     from ...data.ev_etl import build_moer_pack, build_trace_pack
     spec: SiteSpec = load_site(site)
     moer = build_moer_pack(date_period)
-    traces = build_trace_pack(site, date_period, spec.station_ids,
-                              requested_energy_cap=requested_energy_cap)
+    if trace == "gmm":
+        from ...data.ev_gmm import build_gmm_trace_pack
+        traces = build_gmm_trace_pack(
+            site, date_period, n_days=gmm_days,
+            n_components=gmm_components,
+            requested_energy_cap=requested_energy_cap)
+        # MOER days cycle under the (possibly longer) GMM day bank
+        reps = -(-traces["ev_data"].shape[0] // moer.shape[0])
+        moer = np.tile(moer, (reps, 1, 1))[:traces["ev_data"].shape[0]]
+    else:
+        traces = build_trace_pack(site, date_period, spec.station_ids,
+                                  requested_energy_cap=requested_energy_cap)
     phase = np.exp(1j * np.deg2rad(spec.phase_angles))
     a_tilde = spec.constraint_matrix * phase[None, :]
     proj = qp.make_soc_projection(

@@ -145,3 +145,44 @@ def test_discrete_action_mode(param_dict):
     state, _ = env.reset(params, jax.random.PRNGKey(1))
     state, ts = env.step(params, state, a, jax.random.PRNGKey(2))
     assert np.isfinite(float(ts.reward))
+
+
+def test_stochastic_ambients(param_dict):
+    p = generate_building_params(
+        "OfficeSmall", "Hot_Dry", "Tucson",
+        stochastic_summer_percentage=0.7, stochastic_seed=0)
+    assert p["out_temp"].shape == param_dict["out_temp"].shape
+    # resampled series differ from the deterministic weather but stay in a
+    # physically plausible range
+    assert not np.allclose(p["out_temp"][:100], param_dict["out_temp"][:100])
+    assert -30 < np.mean(p["out_temp"]) < 50
+
+
+def test_data_driven_identification(param_dict):
+    from sustaingym_tpu.envs.building import fit_data_driven
+    env = BuildingEnv()
+    params = make_params(param_dict, dtype=jnp.float64)
+    # roll a trajectory under the physics model
+    state, ts = env.reset_at_epoch(params, 1000)
+    states = [np.asarray(state.x)]
+    actions = []
+    rng = np.random.default_rng(0)
+    for _ in range(400):
+        a = rng.uniform(-1, 1, params.n).astype(np.float32)
+        state, ts = env.step(params, state, a, jax.random.PRNGKey(0))
+        states.append(np.asarray(state.x))
+        actions.append(a * params.max_power)
+    dd = fit_data_driven(params, np.asarray(states), np.asarray(actions),
+                         start_epoch=1000)
+    assert dd.data_driven and dd.BD_d.shape == (params.n, params.n + 7)
+    # the identified model should predict the physics trajectory closely
+    state_dd, _ = env.reset_at_epoch(dd, 1000)
+    state_ph, _ = env.reset_at_epoch(params, 1000)
+    errs = []
+    for i in range(50):
+        a = jnp.asarray(np.asarray(actions[i]) / params.max_power,
+                        jnp.float64)
+        state_dd, _ = env.step(dd, state_dd, a, jax.random.PRNGKey(0))
+        state_ph, _ = env.step(params, state_ph, a, jax.random.PRNGKey(0))
+        errs.append(np.abs(np.asarray(state_dd.x) - np.asarray(state_ph.x)).max())
+    assert np.max(errs) < 1.5, np.max(errs)

@@ -246,3 +246,35 @@ def test_jpl_site_loads():
     assert params.n_stations == 52
     state, ts = env.reset_at_day(params, 3)
     assert ts.obs["demands"].shape == (52,)
+
+
+def test_gmm_trace_generator():
+    """GMM-based artificial trace bank (GMMsTraceGenerator analogue)."""
+    env, params = evcharging.make_env(
+        site="caltech", date_period="Summer 2021", trace="gmm",
+        gmm_days=10, project_action=False)
+    assert params.n_days == 10
+    mask = np.asarray(params.ev_mask)
+    ev = np.asarray(params.ev_data)
+    assert mask.sum() > 20  # plausible session volume over 10 days
+    # arrivals strictly before departures and estimated departures
+    valid = mask.astype(bool)
+    assert np.all(ev[valid][:, 0] < ev[valid][:, 1])
+    assert np.all(ev[valid][:, 0] < ev[valid][:, 2])
+    assert np.all((ev[valid][:, 3] > 0) & (ev[valid][:, 3] <= 100))
+    # no station double-booked: overlapping sessions at one station
+    for d in range(10):
+        for s in range(params.n_stations):
+            rows = np.where(valid[d] & (np.asarray(params.ev_station)[d] == s))[0]
+            spans = sorted((ev[d, r, 0], ev[d, r, 1]) for r in rows)
+            for (a1, d1), (a2, d2) in zip(spans, spans[1:]):
+                assert a2 >= d1, (d, s, spans)
+    # deterministic for a given seed
+    from sustaingym_tpu.data.ev_gmm import build_gmm_trace_pack
+    p2 = build_gmm_trace_pack("caltech", "Summer 2021", n_days=10, cache=False)
+    np.testing.assert_array_equal(np.asarray(params.ev_data), p2["ev_data"])
+    # episode runs
+    state, ts = env.reset_at_day(params, 0)
+    state, ts = env.step(params, state, jnp.ones(params.n_stations),
+                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(ts.reward))
