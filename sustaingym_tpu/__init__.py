@@ -24,6 +24,24 @@ __version__ = "0.1.0"
 _REGISTRY: dict[str, Any] = {}
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles on the tunneled TPU
+    take 30-300 s; cached reloads take milliseconds."""
+    import os
+    cache_dir = os.environ.get(
+        "SUSTAINGYM_XLA_CACHE",
+        os.path.expanduser("~/.cache/sustaingym_tpu_xla"))
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+
+_enable_compilation_cache()
+
+
 def register(name: str, factory) -> None:
     """Registers an env factory. ``factory(**kwargs) -> (env, params)``."""
     _REGISTRY[name] = factory

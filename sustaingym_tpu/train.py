@@ -1,0 +1,137 @@
+"""Training CLI — the TPU-native replacement for the reference's RLLib/SB3
+example scripts (/root/reference/examples/evcharging/train_rllib.py:43-84,
+train_stable_baselines.py:156-187, train_rllib_template.py:28).
+
+    python -m sustaingym_tpu.train --env building --iterations 50 \
+        --num-envs 1024 --log-dir runs/building
+
+Writes per-iteration metrics to ``train_results.csv`` (mirroring the
+reference's CSV logging, train_rllib.py:170-190), checkpoints the full
+learner carry (params, optimizer state, env states, obs) with orbax every
+``--save-every`` iterations, and resumes from ``--restore``.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+
+def save_checkpoint(path: str, carry, step: int) -> None:
+    """Orbax checkpoint of the full learner carry pytree.
+
+    The carry is stored as its flattened leaf list ("leaf_{i}") so restore
+    is structure-agnostic (optax states carry namedtuple/EmptyState nodes
+    that do not round-trip through a raw PyTree restore)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    leaves = jax.tree.leaves(carry)
+    payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, f"step_{step}"), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, carry_like):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    steps = sorted(int(d.split("_")[1]) for d in os.listdir(path)
+                   if d.startswith("step_"))
+    # restore to HOST numpy first (direct restore onto the tunneled TPU
+    # device hangs), then rebuild the carry from the leaf list
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(os.path.join(path, f"step_{steps[-1]}"))
+    leaves, treedef = jax.tree.flatten(carry_like)
+    new_leaves = [jnp.asarray(raw[f"leaf_{i}"], leaves[i].dtype)
+                  for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, new_leaves), steps[-1]
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--env", default="building",
+                        help="building|cogen|evcharging|electricitymarket|datacenter")
+    parser.add_argument("--iterations", type=int, default=50)
+    parser.add_argument("--num-envs", type=int, default=256)
+    parser.add_argument("--rollout-len", type=int, default=64)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--gamma", type=float, default=0.99)
+    parser.add_argument("--epochs", type=int, default=4)
+    parser.add_argument("--minibatches", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-dir", default="runs/default")
+    parser.add_argument("--save-every", type=int, default=10)
+    parser.add_argument("--restore", default=None,
+                        help="checkpoint dir to resume from")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard over the first N devices (0 = single)")
+    parser.add_argument("--mp", type=int, default=1,
+                        help="tensor-parallel width within the mesh")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.parallel import PPOConfig, make_mesh
+    from sustaingym_tpu.parallel.ppo import (_shard_carry, make_train_step)
+    from sustaingym_tpu.parallel.mesh import data_sharding, replicated
+
+    env, env_params = make(args.env)
+    cfg = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
+                    hidden=args.hidden, lr=args.lr, gamma=args.gamma,
+                    epochs=args.epochs, minibatches=args.minibatches)
+    init_state, train_step = make_train_step(env, env_params, cfg)
+
+    key = jax.random.PRNGKey(args.seed)
+    carry = init_state(key)
+    start_iter = 0
+    if args.restore:
+        carry, start_iter = restore_checkpoint(args.restore, carry)
+        print(f"restored checkpoint at iteration {start_iter}")
+
+    if args.mesh:
+        mesh = make_mesh(args.mesh, mp=args.mp)
+        carry = _shard_carry(carry, mesh, data_sharding(mesh),
+                             replicated(mesh))
+        print(f"mesh: {dict(mesh.shape)}")
+
+    step = jax.jit(train_step, donate_argnums=0)
+    os.makedirs(args.log_dir, exist_ok=True)
+    csv_path = os.path.join(args.log_dir, "train_results.csv")
+    ckpt_dir = os.path.join(args.log_dir, "checkpoints")
+
+    steps_per_iter = cfg.num_envs * cfg.rollout_len
+    with open(csv_path, "a", newline="") as f:
+        writer = None
+        for i in range(start_iter, start_iter + args.iterations):
+            t0 = time.perf_counter()
+            carry, metrics = step(carry, jax.random.fold_in(key, 1000 + i))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            metrics.update(iteration=i, seconds=round(dt, 3),
+                           env_steps_per_s=round(steps_per_iter / dt, 1))
+            if writer is None:
+                writer = csv.DictWriter(f, fieldnames=list(metrics))
+                if f.tell() == 0:
+                    writer.writeheader()
+            writer.writerow(metrics)
+            f.flush()
+            print(f"iter {i}: reward={metrics['mean_reward']:.4f} "
+                  f"({metrics['env_steps_per_s']:.0f} steps/s)")
+            if (i + 1) % args.save_every == 0:
+                save_checkpoint(ckpt_dir, carry, i + 1)
+                print(f"checkpoint saved at iteration {i + 1}")
+
+    save_checkpoint(ckpt_dir, carry, start_iter + args.iterations)
+    print(f"done; logs in {csv_path}")
+
+
+if __name__ == "__main__":
+    main()
