@@ -57,6 +57,15 @@ class EVParams:
     ev_data: jax.Array       # (n_days, MAX_EVS, 4) [arr, dep, est, req_kwh]
     ev_station: jax.Array    # (n_days, MAX_EVS) int32
     ev_mask: jax.Array       # (n_days, MAX_EVS) bool
+    # dense per-station event grids: plug events keyed by (day, t, station)
+    # — one (n,) gather per step instead of a MAX_EVS scan+scatter
+    plug_dep: jax.Array      # (n_days, 289, n) f32, 0 = no arrival
+    plug_est: jax.Array      # (n_days, 289, n)
+    plug_req: jax.Array      # (n_days, 289, n)
+    # per-day episode info (precomputed; the reference recomputes
+    # max_profit once per reset, env.py:322)
+    day_max_profit: jax.Array  # (n_days,)
+    day_num_evs: jax.Array     # (n_days,) int32
     # network constants
     constraint_re: jax.Array  # (m, n) Re(A~)
     constraint_im: jax.Array  # (m, n) Im(A~)
@@ -117,11 +126,40 @@ def make_params(site: str = "caltech",
     proj = qp.make_soc_projection(
         spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
         action_scale=ACTION_SCALE_FACTOR, iters=proj_iters, dtype=dtype)
+
+    # compile event grids + per-day info on host
+    ev = traces["ev_data"]
+    st = traces["ev_station"]
+    msk = traces["ev_mask"]
+    n_days_tr = ev.shape[0]
+    n = spec.num_stations
+    grid_shape = (n_days_tr, MAX_TIMESTEP + 1, n)
+    plug_dep = np.zeros(grid_shape, np.float32)
+    plug_est = np.zeros(grid_shape, np.float32)
+    plug_req = np.zeros(grid_shape, np.float32)
+    for d in range(n_days_tr):
+        for k in range(ev.shape[1]):
+            if not msk[d, k]:
+                continue
+            t0 = int(ev[d, k, 0])
+            plug_dep[d, t0, st[d, k]] = ev[d, k, 1]
+            plug_est[d, t0, st[d, k]] = ev[d, k, 2]
+            plug_req[d, t0, st[d, k]] = ev[d, k, 3]
+    dur = (ev[..., 1] - ev[..., 0]) * msk
+    max_kwh = np.minimum(ev[..., 3], dur * ACTION_SCALE_FACTOR * A_PERS_TO_KWH)
+    day_max_profit = (max_kwh * msk).sum(axis=1) * MARGINAL_PROFIT_PER_KWH
+    day_num_evs = msk.sum(axis=1).astype(np.int32)
+
     return EVParams(
         moer=jnp.asarray(moer, dtype),
         ev_data=jnp.asarray(traces["ev_data"], dtype),
         ev_station=jnp.asarray(traces["ev_station"], jnp.int32),
         ev_mask=jnp.asarray(traces["ev_mask"]),
+        plug_dep=jnp.asarray(plug_dep, dtype),
+        plug_est=jnp.asarray(plug_est, dtype),
+        plug_req=jnp.asarray(plug_req, dtype),
+        day_max_profit=jnp.asarray(day_max_profit, dtype),
+        day_num_evs=jnp.asarray(day_num_evs, jnp.int32),
         constraint_re=jnp.asarray(a_tilde.real, dtype),
         constraint_im=jnp.asarray(a_tilde.imag, dtype),
         magnitudes=jnp.asarray(spec.magnitudes, dtype),
@@ -225,19 +263,16 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         t = state.t
         plugged = jnp.where(state.dep == t, False, state.plugged)
 
-        ev = params.ev_data[state.day]          # (max_evs, 4)
-        ev_station = params.ev_station[state.day]
-        ev_mask = params.ev_mask[state.day]
-        arrive = (ev[:, 0].astype(jnp.int32) == t) & ev_mask
-        idx = jnp.where(arrive, ev_station, n)  # scatter-dummy index n
-
-        plugged = jnp.zeros(n + 1, bool).at[idx].set(True)[:n] | plugged
-        dep = jnp.concatenate([state.dep, jnp.zeros(1, jnp.int32)]) \
-            .at[idx].set(ev[:, 1].astype(jnp.int32))[:n]
-        est_dep = jnp.concatenate([state.est_dep, jnp.zeros(1, jnp.int32)]) \
-            .at[idx].set(ev[:, 2].astype(jnp.int32))[:n]
-        demand = jnp.concatenate([state.demand, jnp.zeros(1, dtype)]) \
-            .at[idx].set(ev[:, 3])[:n]
+        # plug events from the dense per-station grids: pure (n,)-vector ops
+        new_dep = params.plug_dep[state.day, t]
+        arrive = new_dep > 0
+        plugged = plugged | arrive
+        dep = jnp.where(arrive, new_dep.astype(jnp.int32), state.dep)
+        est_dep = jnp.where(
+            arrive, params.plug_est[state.day, t].astype(jnp.int32),
+            state.est_dep)
+        demand = jnp.where(arrive, params.plug_req[state.day, t],
+                           state.demand)
 
         # 4) charge batteries at quantized pilots
         rates, energy = battery_charge(pilots, demand, plugged)
@@ -288,18 +323,12 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
 
     def _info(self, params: EVParams, state: EVState, profit, carbon,
               excess) -> dict[str, jax.Array]:
-        ev = params.ev_data[state.day]
-        mask = params.ev_mask[state.day]
-        dur = (ev[:, 1] - ev[:, 0]) * mask
-        max_kwh = jnp.minimum(ev[:, 3],
-                              dur * ACTION_SCALE_FACTOR * A_PERS_TO_KWH)
         return {
             "profit": profit,
             "carbon_cost": carbon,
             "excess_charge": excess,
-            "max_profit": jnp.sum(
-                max_kwh * mask * MARGINAL_PROFIT_PER_KWH),
-            "num_evs": jnp.sum(mask).astype(jnp.int32),
+            "max_profit": params.day_max_profit[state.day],
+            "num_evs": params.day_num_evs[state.day],
         }
 
     # ---- metadata -------------------------------------------------------
