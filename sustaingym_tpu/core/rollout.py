@@ -53,14 +53,22 @@ def batch_reset(env: FunctionalEnv, params, key: jax.Array, batch: int):
 
 def batch_rollout(env: FunctionalEnv, params, policy: PolicyFn, policy_params,
                   key: jax.Array, batch: int, num_steps: int,
-                  auto_reset: bool = True) -> TimeStep:
+                  auto_reset: bool = True, fast: bool = True) -> TimeStep:
     """Rolls ``batch`` env instances for ``num_steps`` in lockstep.
 
     ``policy`` receives batched observations (leading axis = batch) and must
     return batched actions. Returned ``TimeStep`` leaves have shape
     [num_steps, batch, ...]. This is the engine's throughput primitive
     (BASELINE.json configs: "CogenEnv vmapped batch 1024" etc.).
+
+    Envs with fixed episode lengths may provide a ``batch_unroll`` lockstep
+    specialization (same PRNG stream, bit-identical trajectories) that
+    replaces per-step exogenous-data gathers with per-episode prefetches;
+    it is used whenever ``fast`` and ``auto_reset`` are set.
     """
+    unroll = getattr(env, "batch_unroll", None)
+    if fast and auto_reset and unroll is not None:
+        return unroll(params, policy, policy_params, key, batch, num_steps)
     step_fn = autoreset_step(env) if auto_reset else env.step
     vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
 

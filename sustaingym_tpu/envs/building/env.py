@@ -43,6 +43,12 @@ class BuildingParams:
     ground_temp: jax.Array    # (T,)
     ghi: jax.Array            # (T,) normalized [0, 1]
     metabolism: jax.Array     # (T,)
+    # packed exogenous table [out, ground, ghi, metabolism], padded with its
+    # own first episode_len rows so epoch wraparound reads (reference
+    # env.py:302-305 wraps epoch to 0) resolve without a modulo. One row
+    # gather per step replaces four scalar gathers — TPU gather throughput
+    # is per-index, so fewer/wider gathers are strictly faster.
+    exog: jax.Array           # (T + episode_len, 4)
     # zone config
     target: jax.Array         # (n,)
     ac_map: jax.Array         # (n,)
@@ -81,6 +87,12 @@ def make_params(p: dict[str, Any], dtype=jnp.float32) -> BuildingParams:
                            np.asarray(p["D"]), p["time_resolution"])
     n = p["n"]
     beta = p["reward_beta"]
+    episode_len = int(p["episode_len"])
+    exog = np.stack([np.asarray(p["out_temp"], np.float64),
+                     np.asarray(p["ground_temp"], np.float64),
+                     np.asarray(p["ghi"], np.float64),
+                     np.asarray(p["metabolism"], np.float64)], axis=1)
+    exog = np.concatenate([exog, exog[:episode_len]], axis=0)
     return BuildingParams(
         A_d=jnp.asarray(A_d, dtype),
         BD_d=jnp.asarray(BD_d, dtype),
@@ -88,6 +100,7 @@ def make_params(p: dict[str, Any], dtype=jnp.float32) -> BuildingParams:
         ground_temp=jnp.asarray(p["ground_temp"], dtype),
         ghi=jnp.asarray(p["ghi"], dtype),
         metabolism=jnp.asarray(p["metabolism"], dtype),
+        exog=jnp.asarray(exog, dtype),
         target=jnp.asarray(p["target"], dtype),
         ac_map=jnp.asarray(p["ac_map"], dtype),
         q_rate=jnp.asarray((1 - beta) * SCALING_FACTOR, dtype),
@@ -184,14 +197,14 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
                        t_initial: jax.Array | None = None
                        ) -> tuple[BuildingState, TimeStep]:
         epoch = jnp.asarray(epoch, jnp.int32)
+        exog_row = params.exog[epoch]
         x0 = params.target if t_initial is None else jnp.asarray(t_initial)
         avg_temp = _seq_sum(x0, params.n) / params.n
-        meta = params.metabolism[epoch]
-        occupower = calc_occupower(avg_temp, meta)
+        occupower = calc_occupower(avg_temp, exog_row[3])
         state = BuildingState(
             x=x0.astype(params.A_d.dtype), occupower=occupower,
             epoch=epoch, steps=jnp.zeros((), jnp.int32))
-        obs = self._obs(params, state)
+        obs = self._obs(params, state, exog_row)
         ts = TimeStep(
             obs=obs, reward=jnp.zeros((), params.A_d.dtype),
             terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
@@ -202,6 +215,30 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
              action: jax.Array, key: jax.Array
              ) -> tuple[BuildingState, TimeStep]:
         del key  # dynamics are deterministic
+        exog_row = params.exog[state.epoch]
+        x_new, occupower, reward, obs, info = self._step_exog(
+            params, state.x, action, exog_row)
+
+        next_epoch = jnp.where(state.epoch + 1 >= params.length_of_weather,
+                               0, state.epoch + 1)
+        steps = state.steps + 1
+        done = steps >= params.episode_len
+
+        new_state = BuildingState(
+            x=x_new, occupower=occupower, epoch=next_epoch, steps=steps)
+        ts = TimeStep(
+            obs=obs, reward=reward,
+            terminated=done, truncated=done,
+            info=info)
+        return new_state, ts
+
+    def _step_exog(self, params: BuildingParams, x: jax.Array,
+                   action: jax.Array, exog_row: jax.Array):
+        """Dynamics + reward + obs given the step's exogenous row
+        ``[out_temp, ground_temp, ghi, metabolism]``. Shared by the generic
+        per-state :meth:`step` (which gathers the row by epoch) and the
+        lockstep :meth:`batch_unroll` (which prefetches rows time-major so
+        the episode scan does no gathers at all)."""
         dtype = params.A_d.dtype
         if not params.is_continuous_action:
             # MultiDiscrete {0..2*100*ac} -> continuous [-ac, ac]
@@ -213,14 +250,14 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         action_in = jnp.asarray(action)
         action = jnp.asarray(action, dtype)
 
-        epoch = state.epoch
+        out_t, ground_t, ghi_t, meta = (exog_row[0], exog_row[1],
+                                        exog_row[2], exog_row[3])
         # obs vector is stored at float32 precision between steps, matching
         # the reference's float32 state cast (env.py:286-296)
-        x = state.x.astype(jnp.float32).astype(dtype)
+        x_in = x.astype(jnp.float32).astype(dtype)
         # the reference averages the float32 obs vector (env.py:249); keep the
         # reduction AND the polynomial's temp products in float32 for parity
-        avg_temp32 = _seq_sum(state.x.astype(jnp.float32), params.n) / params.n
-        meta = params.metabolism[epoch]
+        avg_temp32 = _seq_sum(x.astype(jnp.float32), params.n) / params.n
         occupower = calc_occupower(avg_temp32, meta).astype(dtype)
 
         if params.data_driven:
@@ -229,17 +266,15 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
             avg = avg_temp32.astype(dtype)
             y = jnp.concatenate([
                 jnp.stack([avg * avg, avg, meta * meta, meta,
-                           params.ground_temp[epoch],
-                           params.out_temp[epoch]]),
-                action, params.ghi[epoch][None]])
+                           ground_t, out_t]),
+                action, ghi_t[None]])
         else:
             # Y = [occupower, ground, out, action(n), ghi] (env.py:243-263)
             y = jnp.concatenate([
-                jnp.stack([occupower, params.ground_temp[epoch],
-                           params.out_temp[epoch]]),
-                action, params.ghi[epoch][None]])
+                jnp.stack([occupower, ground_t, out_t]),
+                action, ghi_t[None]])
 
-        x_new = params.A_d @ x + params.BD_d @ y
+        x_new = params.A_d @ x_in + params.BD_d @ y
 
         # keep the reference's exact expression order for bit parity
         # (env.py:272): X_new * ac_map - target * ac_map
@@ -252,33 +287,117 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         comfort_cost = _pnorm(error, p) * params.error_rate
         reward = -(power_cost + comfort_cost)
 
-        next_epoch = jnp.where(epoch + 1 >= params.length_of_weather,
-                               0, epoch + 1)
-        steps = state.steps + 1
-        done = steps >= params.episode_len
+        obs = jnp.concatenate([
+            x_new,
+            jnp.stack([out_t, ground_t, ghi_t, occupower / 1000.0]),
+        ]).astype(jnp.float32)
+        info = {
+            "zone_temperature": x_new,
+            "comfort_level": -comfort_cost,
+            "power_consumption": -power_cost,
+        }
+        return x_new, occupower, reward, obs, info
 
-        new_state = BuildingState(
-            x=x_new, occupower=occupower, epoch=next_epoch, steps=steps)
-        obs = self._obs(params, new_state, at_epoch=epoch)
-        ts = TimeStep(
-            obs=obs, reward=reward,
-            terminated=done, truncated=done,
-            info={
-                "zone_temperature": x_new,
-                "comfort_level": -comfort_cost,
-                "power_consumption": -power_cost,
-            })
-        return new_state, ts
+    # ---- lockstep fast path ----------------------------------------------
+    def batch_unroll(self, params: BuildingParams, policy, policy_params,
+                     key: jax.Array, batch: int, num_steps: int) -> TimeStep:
+        """Fused reset+rollout of ``batch`` lockstep envs on the same PRNG
+        stream as the generic ``batch_rollout`` — identical trajectories up
+        to 1 ulp of float32 fusion drift in the autoreset obs — with zero
+        per-step gathers.
+
+        Building episodes have a static length, so a batch reset together
+        stays in lockstep forever: episode boundaries fall at static scan
+        offsets. Within an episode the epoch advances by +1 per step
+        (reference env.py:302-305), so each env's exogenous rows for a whole
+        episode segment are one contiguous slice of ``params.exog`` — fetched
+        with a single vmapped ``dynamic_slice`` per segment (one gather of
+        ``batch`` indices amortized over ``episode_len`` steps) and fed to
+        ``lax.scan`` time-major. TPU gather cost is per-index, which makes
+        this ~10x faster than gathering 4 scalars per env per step.
+        """
+        L = params.episode_len
+        Tw = params.length_of_weather
+        dtype = params.A_d.dtype
+        key_init, key_scan = jax.random.split(key)
+        # identical derivation to core.rollout.batch_reset
+        init_keys = jax.random.split(key_init, batch)
+        states, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(params, init_keys)
+        obs = ts0.obs
+        x = states.x
+        e0 = states.epoch
+        keys = jax.random.split(key_scan, num_steps)
+
+        vcore = jax.vmap(self._step_exog, in_axes=(None, 0, 0, 0))
+        x0_fresh = jnp.broadcast_to(
+            params.target.astype(dtype), (batch, params.n))
+
+        parts = []
+        t = 0
+        while t < num_steps:
+            seg_len = min(L, num_steps - t)
+            # rows for epochs e0 .. e0+seg_len-1 (padding handles wraparound)
+            block = jax.vmap(
+                lambda e: jax.lax.dynamic_slice(
+                    params.exog, (e, jnp.zeros((), e.dtype)),
+                    (seg_len, 4)))(e0)
+            block = jnp.swapaxes(block, 0, 1)          # (seg_len, B, 4)
+            seg_keys = keys[t:t + seg_len]
+
+            def body(carry, inp):
+                x, obs = carry
+                key_t, rows = inp
+                key_act, key_env = jax.random.split(key_t)
+                actions = policy(policy_params, obs, key_act)
+                x_new, occ, reward, obs_new, info = vcore(
+                    params, x, actions, rows)
+                ts = TimeStep(obs=obs_new, reward=reward,
+                              terminated=jnp.zeros((batch,), bool),
+                              truncated=jnp.zeros((batch,), bool),
+                              info=info)
+                return (x_new, obs_new), (ts, key_env)
+
+            (x, obs), (traj, env_keys) = jax.lax.scan(
+                body, (x, obs), (seg_keys, block))
+
+            if seg_len == L:
+                # episode boundary: mark done and splice in the autoreset
+                # obs/state, reproducing core.env.autoreset_step's key
+                # derivation exactly (env key -> split -> reset key).
+                done = jnp.ones((batch,), bool)
+                traj = traj.replace(
+                    terminated=traj.terminated.at[-1].set(done),
+                    truncated=traj.truncated.at[-1].set(done))
+                bkeys = jax.random.split(env_keys[-1], batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                e0 = jax.vmap(
+                    lambda k: jax.random.randint(k, (), 0, Tw - 1))(reset_keys)
+                row0 = params.exog[e0]                  # (B, 4)
+                avg0 = _seq_sum(params.target, params.n) / params.n
+                occ0 = calc_occupower(avg0, row0[:, 3])
+                obs = jnp.concatenate([
+                    x0_fresh,
+                    jnp.stack([row0[:, 0], row0[:, 1], row0[:, 2],
+                               occ0 / 1000.0], axis=1),
+                ], axis=1).astype(jnp.float32)
+                x = x0_fresh
+                traj = traj.replace(obs=traj.obs.at[-1].set(obs))
+            parts.append(traj)
+            t += seg_len
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     def _obs(self, params: BuildingParams, state: BuildingState,
-             at_epoch=None) -> jax.Array:
+             exog_row: jax.Array | None = None) -> jax.Array:
         """obs = [zone temps (n), out temp, ground temp, ghi, occupower/1000]
         (/root/reference/sustaingym/envs/building/env.py:286-296)."""
-        e = state.epoch if at_epoch is None else at_epoch
+        row = params.exog[state.epoch] if exog_row is None else exog_row
         return jnp.concatenate([
             state.x,
-            jnp.stack([params.out_temp[e], params.ground_temp[e],
-                       params.ghi[e], state.occupower / 1000.0]),
+            jnp.stack([row[0], row[1], row[2], state.occupower / 1000.0]),
         ]).astype(jnp.float32)
 
     def _zero_info(self, params: BuildingParams) -> dict[str, jax.Array]:

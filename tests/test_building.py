@@ -135,6 +135,36 @@ def test_batch_rollout_shapes_and_autoreset(param_dict):
     assert np.all(np.isfinite(np.asarray(traj.obs)))
 
 
+def test_batch_unroll_matches_generic(param_dict):
+    """The lockstep fast path (per-episode exog prefetch, zero per-step
+    gathers) must be bit-identical to the generic vmap+autoreset path —
+    same PRNG stream, same trajectories, across episode boundaries."""
+    env = BuildingEnv()
+    p = dict(param_dict)
+    p["episode_len"] = 10
+    params = make_params(p, dtype=jnp.float32)
+    batch = 8
+    for steps in (7, 25):  # partial episode; across 2 boundaries
+        pol = random_policy(env, params, batch)
+        key = jax.random.PRNGKey(3)
+        fast = batch_rollout(env, params, pol, None, key, batch, steps)
+        slow = batch_rollout(env, params, pol, None, key, batch, steps,
+                             fast=False)
+        for name in ("reward", "terminated", "truncated"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fast, name)),
+                np.asarray(getattr(slow, name)), err_msg=name)
+        # autoreset-boundary obs recompute occupower in a different XLA
+        # fusion context -> up to 1 ulp of float32 drift
+        np.testing.assert_allclose(
+            np.asarray(fast.obs), np.asarray(slow.obs),
+            rtol=3e-7, atol=1e-7, err_msg="obs")
+        for k in fast.info:
+            np.testing.assert_array_equal(
+                np.asarray(fast.info[k]), np.asarray(slow.info[k]),
+                err_msg=k)
+
+
 def test_discrete_action_mode(param_dict):
     env = BuildingEnv()
     p = dict(param_dict)
