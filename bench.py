@@ -160,7 +160,7 @@ def measure_reference() -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="building")
-    parser.add_argument("--batch", type=int, default=16384)
+    parser.add_argument("--batch", type=int, default=65536)
     parser.add_argument("--steps", type=int, default=288)
     parser.add_argument("--measure-reference", action="store_true")
     args = parser.parse_args()

@@ -104,6 +104,6 @@ def random_policy(env: FunctionalEnv, params, batch: int | None = None
     def policy(_, obs, key):
         if batch is None:
             return space.sample(key)
-        return jax.vmap(space.sample)(jax.random.split(key, batch))
+        return space.sample_batch(key, batch)
 
     return policy

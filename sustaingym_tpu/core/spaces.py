@@ -27,6 +27,16 @@ class Space:
     def sample(self, key: jax.Array) -> Any:
         raise NotImplementedError
 
+    def sample_batch(self, key: jax.Array, batch: int) -> Any:
+        """Samples ``batch`` independent points with ONE wide RNG op.
+
+        Semantically equivalent to ``vmap(sample)(split(key, batch))`` but
+        ~batch times cheaper on TPU: a single threefry call over the whole
+        (batch, ...) block instead of ``batch`` key splits + tiny samples.
+        The random stream differs from the vmapped form (both are uniform).
+        """
+        return jax.vmap(self.sample)(jax.random.split(key, batch))
+
     def contains(self, x: Any) -> bool:
         raise NotImplementedError
 
@@ -47,6 +57,12 @@ class Box(Space):
 
     def sample(self, key: jax.Array) -> jax.Array:
         u = jax.random.uniform(key, self.shape, dtype=jnp.float32)
+        low = jnp.asarray(self.low, dtype=jnp.float32)
+        high = jnp.asarray(self.high, dtype=jnp.float32)
+        return (low + u * (high - low)).astype(self.dtype)
+
+    def sample_batch(self, key: jax.Array, batch: int) -> jax.Array:
+        u = jax.random.uniform(key, (batch,) + self.shape, dtype=jnp.float32)
         low = jnp.asarray(self.low, dtype=jnp.float32)
         high = jnp.asarray(self.high, dtype=jnp.float32)
         return (low + u * (high - low)).astype(self.dtype)
@@ -72,6 +88,10 @@ class Discrete(Space):
     def sample(self, key: jax.Array) -> jax.Array:
         return jax.random.randint(key, (), 0, self.n, dtype=self.dtype) + self.start
 
+    def sample_batch(self, key: jax.Array, batch: int) -> jax.Array:
+        return (jax.random.randint(key, (batch,), 0, self.n, dtype=self.dtype)
+                + self.start)
+
     def contains(self, x) -> bool:
         xi = int(np.asarray(x))
         return self.start <= xi < self.start + self.n
@@ -92,6 +112,10 @@ class MultiDiscrete(Space):
         u = jax.random.uniform(key, self.shape)
         return jnp.floor(u * jnp.asarray(self.nvec)).astype(self.dtype)
 
+    def sample_batch(self, key: jax.Array, batch: int) -> jax.Array:
+        u = jax.random.uniform(key, (batch,) + self.shape)
+        return jnp.floor(u * jnp.asarray(self.nvec)).astype(self.dtype)
+
     def contains(self, x) -> bool:
         x = np.asarray(x)
         return x.shape == self.shape and np.all(x >= 0) and np.all(x < self.nvec)
@@ -110,6 +134,11 @@ class DictSpace(Space):
     def sample(self, key: jax.Array) -> dict[str, Any]:
         keys = jax.random.split(key, len(self.spaces))
         return {name: sp.sample(k)
+                for (name, sp), k in zip(self.spaces.items(), keys)}
+
+    def sample_batch(self, key: jax.Array, batch: int) -> dict[str, Any]:
+        keys = jax.random.split(key, len(self.spaces))
+        return {name: sp.sample_batch(k, batch)
                 for (name, sp), k in zip(self.spaces.items(), keys)}
 
     def contains(self, x) -> bool:

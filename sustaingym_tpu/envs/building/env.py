@@ -332,15 +332,15 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         x0_fresh = jnp.broadcast_to(
             params.target.astype(dtype), (batch, params.n))
 
+        from ...ops.pallas import episode_slice_gather
+
         parts = []
         t = 0
         while t < num_steps:
             seg_len = min(L, num_steps - t)
-            # rows for epochs e0 .. e0+seg_len-1 (padding handles wraparound)
-            block = jax.vmap(
-                lambda e: jax.lax.dynamic_slice(
-                    params.exog, (e, jnp.zeros((), e.dtype)),
-                    (seg_len, 4)))(e0)
+            # rows for epochs e0 .. e0+seg_len-1 (padding handles wraparound);
+            # Pallas slice-gather kernel on TPU, vmapped dynamic_slice off-TPU
+            block = episode_slice_gather(params.exog, e0, seg_len)
             block = jnp.swapaxes(block, 0, 1)          # (seg_len, B, 4)
             seg_keys = keys[t:t + seg_len]
 
