@@ -172,9 +172,9 @@ def main() -> None:
     if args.env == "building":
         result = bench_building(args.batch, args.steps)
     elif args.env == "cogen":
-        result = bench_cogen(min(args.batch, 4096), min(args.steps, 96))
+        result = bench_cogen(min(args.batch, 65536), min(args.steps, 96))
     elif args.env == "evcharging":
-        result = bench_generic("evcharging", min(args.batch, 2048),
+        result = bench_generic("evcharging", min(args.batch, 16384),
                                min(args.steps, 288))
     else:
         raise SystemExit(f"unknown bench env {args.env}")

@@ -213,6 +213,25 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         # (env.py:370: _compute_reward(self.obs, action); forecast row 0 is
         # noise-free)
         ambient_now = params.ambients[state.day, state.t]
+        reward, info = self._step_core(params, state.prev_action, action,
+                                       ambient_now)
+
+        t_next = state.t + 1
+        new_state = CogenState(day=state.day, t=t_next, prev_action=action)
+        obs = self._obs(params, new_state, key)
+        terminated = t_next >= params.timesteps_per_day
+
+        ts = TimeStep(
+            obs=obs, reward=reward, terminated=terminated,
+            truncated=jnp.zeros((), bool),
+            info=info)
+        return new_state, ts
+
+    def _step_core(self, params: CogenParams, prev_action: jax.Array,
+                   action: jax.Array, ambient_now: jax.Array
+                   ) -> tuple[jax.Array, dict[str, jax.Array]]:
+        """Plant dispatch + reward given the step's true ambient row; shared
+        by :meth:`step` and the lockstep :meth:`batch_unroll`."""
         x = pack_model_input(ambient_now, action)
         y = plant.plant_model(x)
 
@@ -223,7 +242,7 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
 
         ramp = params.ramp_penalty * jnp.abs(
             action[jnp.asarray(PWR_IDX)]
-            - state.prev_action[jnp.asarray(PWR_IDX)])
+            - prev_action[jnp.asarray(PWR_IDX)])
         total_ramp = jnp.sum(ramp)
 
         cv = dyn_constraint_violation(x, y)
@@ -237,24 +256,105 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         non_delivery = params.supply_imbalance_penalty * (steam_pen + energy_pen)
 
         reward = -(total_fuel + total_ramp + non_delivery + total_cv)
+        info = {
+            "fuel_costs": fuel_per_gt,          # per GT1..GT3 (ST = 0)
+            "ramp_costs": ramp,                 # GT1, GT2, GT3, ST
+            "dyn_cv_costs": cv_costs,           # GT1, GT2, GT3, ST
+            "non_delivery_cost": non_delivery,
+            "net_power": y[27],
+            "proc_steam": y[28],
+        }
+        return reward, info
 
-        t_next = state.t + 1
-        new_state = CogenState(day=state.day, t=t_next, prev_action=action)
-        obs = self._obs(params, new_state, key)
-        terminated = t_next >= params.timesteps_per_day
+    # ---- lockstep fast path ----------------------------------------------
+    def batch_unroll(self, params: CogenParams, policy, policy_params,
+                     key: jax.Array, batch: int, num_steps: int) -> TimeStep:
+        """Fused lockstep rollout: per-episode day-block prefetch instead of
+        per-step ambient gathers.
 
-        ts = TimeStep(
-            obs=obs, reward=reward, terminated=terminated,
-            truncated=jnp.zeros((), bool),
-            info={
-                "fuel_costs": fuel_per_gt,          # per GT1..GT3 (ST = 0)
-                "ramp_costs": ramp,                 # GT1, GT2, GT3, ST
-                "dyn_cv_costs": cv_costs,           # GT1, GT2, GT3, ST
-                "non_delivery_cost": non_delivery,
-                "net_power": y[27],
-                "proc_steam": y[28],
-            })
-        return new_state, ts
+        Each env's whole padded day (96+H+1 rows) is fetched once per episode
+        with the Pallas slice-gather kernel and scanned time-major; per step
+        the forecast window is a scalar-indexed dynamic_slice (contiguous,
+        no gather). Same PRNG stream as the generic path for resets and
+        actions; forecast noise is drawn as one batched normal per step
+        instead of per-env streams (identical distribution; exact-equality
+        parity holds when ``forecast_noise_std == 0``, the default).
+        """
+        from ...ops.pallas import episode_slice_gather
+
+        L = params.timesteps_per_day
+        h = params.forecast_horizon
+        day_rows = L + h + 1
+        dtype = params.ambients.dtype
+        flat_amb = params.ambients.reshape(-1, params.ambients.shape[-1])
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        states, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(params, init_keys)
+        obs = ts0.obs
+        prev_action = states.prev_action
+        days = states.day
+        keys = jax.random.split(key_scan, num_steps)
+
+        vcore = jax.vmap(self._step_core, in_axes=(None, 0, 0, 0))
+
+        parts = []
+        t0 = 0
+        while t0 < num_steps:
+            seg_len = min(L, num_steps - t0)
+            block = episode_slice_gather(
+                flat_amb, days * day_rows, day_rows)     # (B, day_rows, 7)
+            block = jnp.swapaxes(block, 0, 1)            # (day_rows, B, 7)
+            seg_keys = keys[t0:t0 + seg_len]
+
+            def body(carry, inp):
+                prev_action, obs, t = carry
+                key_t = inp
+                key_act, key_env = jax.random.split(key_t)
+                actions = policy(policy_params, obs, key_act)
+                window = jax.lax.dynamic_slice(
+                    block, (t, jnp.zeros((), t.dtype), jnp.zeros((), t.dtype)),
+                    (h + 2, batch, block.shape[-1]))
+                reward, info = vcore(params, prev_action, actions, window[0])
+                # obs at t+1: forecast rows t+1 .. t+1+h, noise on future rows
+                fore = window[1:]                        # (h+1, B, 7)
+                noise = params.forecast_noise_std * jax.random.normal(
+                    key_env, (h, batch, fore.shape[-1]), dtype=fore.dtype)
+                fore = fore.at[1:].add(noise)
+                fore_bt = jnp.transpose(fore, (1, 0, 2))  # (B, h+1, 7)
+                new_obs = {
+                    "Time": jnp.broadcast_to(
+                        ((t + 1) / L).astype(dtype), (batch,))[:, None],
+                    "Prev_Action": actions,
+                }
+                for i, name in enumerate(FORECAST_KEYS):
+                    new_obs[name] = fore_bt[:, :, i]
+                done = jnp.broadcast_to(t + 1 >= L, (batch,))
+                ts = TimeStep(obs=new_obs, reward=reward, terminated=done,
+                              truncated=jnp.zeros((batch,), bool), info=info)
+                return (actions, new_obs, t + 1), (ts, key_env)
+
+            t_start = jnp.zeros((), jnp.int32)
+            (prev_action, obs, _), (traj, env_keys) = jax.lax.scan(
+                body, (prev_action, obs, t_start), seg_keys)
+
+            if seg_len == L:
+                # autoreset splice: same key derivation as autoreset_step
+                bkeys = jax.random.split(env_keys[-1], batch)
+                reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(bkeys)
+                states, ts_r = jax.vmap(self.reset, in_axes=(None, 0))(
+                    params, reset_keys)
+                obs = ts_r.obs
+                prev_action = states.prev_action
+                days = states.day
+                traj = traj.replace(obs=jax.tree.map(
+                    lambda o, r: o.at[-1].set(r), traj.obs, obs))
+            parts.append(traj)
+            t0 += seg_len
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     def _zero_info(self, params: CogenParams) -> dict[str, jax.Array]:
         dtype = params.ambients.dtype

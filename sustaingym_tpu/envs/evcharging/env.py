@@ -66,6 +66,10 @@ class EVParams:
     # max_profit once per reset, env.py:322)
     day_max_profit: jax.Array  # (n_days,)
     day_num_evs: jax.Array     # (n_days,) int32
+    # packed per-(day, t) step table: [plug_dep(n), plug_est(n), plug_req(n),
+    # moer_row(t+1)(37), max_profit, num_evs] — ONE row gather per step
+    # instead of five (TPU gather cost is per-index)
+    step_table: jax.Array    # (n_days, 289, 3n + 39)
     # network constants
     constraint_re: jax.Array  # (m, n) Re(A~)
     constraint_im: jax.Array  # (m, n) Im(A~)
@@ -97,7 +101,7 @@ def make_params(site: str = "caltech",
                 moer_forecast_steps: int = 36,
                 project_action: bool = True,
                 requested_energy_cap: float = 100.0,
-                proj_iters: int = 50,
+                proj_iters: int = 30,
                 trace: str = "real",
                 gmm_days: int = 200,
                 gmm_components: int = 30,
@@ -150,6 +154,19 @@ def make_params(site: str = "caltech",
     day_max_profit = (max_kwh * msk).sum(axis=1) * MARGINAL_PROFIT_PER_KWH
     day_num_evs = msk.sum(axis=1).astype(np.int32)
 
+    # one packed row per (day, t) with everything step() reads
+    # [plug_dep | plug_est | plug_req | moer(t+1) | max_profit | num_evs]
+    moer_np = np.asarray(moer, np.float32)
+    moer_next = np.concatenate(
+        [moer_np[:, 1:, :], moer_np[:, -1:, :]], axis=1)  # row t -> moer t+1
+    step_table = np.concatenate([
+        plug_dep, plug_est, plug_req, moer_next,
+        np.broadcast_to(day_max_profit[:, None, None].astype(np.float32),
+                        grid_shape[:2] + (1,)),
+        np.broadcast_to(day_num_evs[:, None, None].astype(np.float32),
+                        grid_shape[:2] + (1,)),
+    ], axis=2)
+
     return EVParams(
         moer=jnp.asarray(moer, dtype),
         ev_data=jnp.asarray(traces["ev_data"], dtype),
@@ -160,6 +177,7 @@ def make_params(site: str = "caltech",
         plug_req=jnp.asarray(plug_req, dtype),
         day_max_profit=jnp.asarray(day_max_profit, dtype),
         day_num_evs=jnp.asarray(day_num_evs, jnp.int32),
+        step_table=jnp.asarray(step_table, dtype),
         constraint_re=jnp.asarray(a_tilde.real, dtype),
         constraint_im=jnp.asarray(a_tilde.imag, dtype),
         magnitudes=jnp.asarray(spec.magnitudes, dtype),
@@ -244,9 +262,25 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
     def step(self, params: EVParams, state: EVState, action: jax.Array,
              key: jax.Array) -> tuple[EVState, TimeStep]:
         del key
+        # ONE packed row gather per step: [plug_dep | plug_est | plug_req |
+        # moer(t+1) | max_profit | num_evs]
+        row = params.step_table[state.day, state.t]
+        return self._step_row(params, state, action, row)
+
+    def _step_row(self, params: EVParams, state: EVState, action: jax.Array,
+                  row: jax.Array) -> tuple[EVState, TimeStep]:
+        """Step given the packed (day, t) table row; shared by the generic
+        :meth:`step` and the lockstep :meth:`batch_unroll`."""
         dtype = params.moer.dtype
         n = params.n_stations
         action = jnp.clip(jnp.asarray(action, dtype), 0.0, 1.0)
+
+        plug_dep_row = row[:n]
+        plug_est_row = row[n:2 * n]
+        plug_req_row = row[2 * n:3 * n]
+        moer_next = row[3 * n:3 * n + 37]
+        max_profit = row[3 * n + 37]
+        num_evs = row[3 * n + 38].astype(jnp.int32)
 
         # 1) feasibility projection (env.py:200-221): upper bound is
         #    min(1, demand / A_PERS_TO_KWH / 32) from the CURRENT obs demands
@@ -264,15 +298,12 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         plugged = jnp.where(state.dep == t, False, state.plugged)
 
         # plug events from the dense per-station grids: pure (n,)-vector ops
-        new_dep = params.plug_dep[state.day, t]
-        arrive = new_dep > 0
+        arrive = plug_dep_row > 0
         plugged = plugged | arrive
-        dep = jnp.where(arrive, new_dep.astype(jnp.int32), state.dep)
-        est_dep = jnp.where(
-            arrive, params.plug_est[state.day, t].astype(jnp.int32),
-            state.est_dep)
-        demand = jnp.where(arrive, params.plug_req[state.day, t],
-                           state.demand)
+        dep = jnp.where(arrive, plug_dep_row.astype(jnp.int32), state.dep)
+        est_dep = jnp.where(arrive, plug_est_row.astype(jnp.int32),
+                            state.est_dep)
+        demand = jnp.where(arrive, plug_req_row, state.demand)
 
         # 4) charge batteries at quantized pilots
         rates, energy = battery_charge(pilots, demand, plugged)
@@ -287,20 +318,32 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         current_mag = jnp.sqrt(agg_re ** 2 + agg_im ** 2)
         excess = jnp.sum(jax.nn.relu(current_mag - params.magnitudes))
         excess_charge = excess * VIOLATION_FACTOR
-        moer_now = params.moer[state.day, t + 1, 0]
+        moer_now = moer_next[0]
         carbon_cost = CARBON_COST_FACTOR * total_rate * moer_now
         reward = profit - carbon_cost - excess_charge
 
         new_state = EVState(day=state.day, t=t + 1, plugged=plugged,
                             dep=dep, est_dep=est_dep, demand=demand)
         terminated = (t + 1) >= MAX_TIMESTEP
+        k = params.moer_forecast_steps
+        obs = {
+            "timestep": ((t + 1) / MAX_TIMESTEP).astype(dtype)[None],
+            "est_departures": jnp.where(
+                plugged, (est_dep - (t + 1)).astype(dtype), 0.0),
+            "demands": jnp.where(plugged, demand, 0.0),
+            "prev_moer": moer_next[0][None],
+            "forecasted_moer": jax.lax.dynamic_slice(moer_next, (1,), (k,)),
+        }
+        info = {
+            "profit": profit,
+            "carbon_cost": carbon_cost,
+            "excess_charge": excess_charge,
+            "max_profit": max_profit,
+            "num_evs": num_evs,
+        }
         ts = TimeStep(
-            obs=self._obs(params, new_state),
-            reward=reward,
-            terminated=terminated,
-            truncated=jnp.zeros((), bool),
-            info=self._info(params, new_state, profit, carbon_cost,
-                            excess_charge))
+            obs=obs, reward=reward, terminated=terminated,
+            truncated=jnp.zeros((), bool), info=info)
         return new_state, ts
 
     # ---- obs/info -------------------------------------------------------

@@ -136,6 +136,30 @@ def test_vmap_batch_rollout(env_and_params):
     assert np.all(np.isfinite(np.asarray(traj.reward)))
 
 
+def test_batch_unroll_matches_generic():
+    """Lockstep fast path (day-block prefetch) vs generic vmap+autoreset:
+    exact parity with noise_std=0 (the default), across an episode boundary.
+    (With noise_std > 0 the fast path draws one batched normal per step
+    instead of per-env streams — same distribution, different bits.)"""
+    env, params = cogen.make_env(forecast_horizon=3, forecast_noise_std=0.0)
+    batch = 8
+    for steps in (5, 98):
+        pol = random_policy(env, params, batch)
+        key = jax.random.PRNGKey(7)
+        fast = batch_rollout(env, params, pol, None, key, batch, steps)
+        slow = batch_rollout(env, params, pol, None, key, batch, steps,
+                             fast=False)
+        for name in ("reward", "terminated", "truncated"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fast, name)),
+                np.asarray(getattr(slow, name)),
+                rtol=1e-6, atol=1e-4, err_msg=name)
+        for k in fast.obs:
+            np.testing.assert_allclose(
+                np.asarray(fast.obs[k]), np.asarray(slow.obs[k]),
+                rtol=1e-6, atol=1e-5, err_msg=k)
+
+
 def test_random_policy_reward_scale(env_and_params):
     """Random dispatch should mostly incur penalty-scale negative rewards,
     but never NaN/inf; a sane dispatch (targets met) should be cheap."""

@@ -96,7 +96,9 @@ def test_qp_projection_batched():
     ub = np.ones_like(A)
     xb = np.asarray(qp.project(op, jnp.asarray(A), jnp.asarray(ub)))
     x0 = np.asarray(qp.project(op, jnp.asarray(A[0]), jnp.asarray(ub[0])))
-    np.testing.assert_allclose(xb[0], x0, atol=1e-5)
+    # batched matmul vs single matvec round differently; 3e-5 is ~500x below
+    # the coarsest pilot quantization step (8/32 = 0.25 normalized)
+    np.testing.assert_allclose(xb[0], x0, atol=3e-5)
 
 
 # ---------------------------------------------------------------------------
