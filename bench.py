@@ -176,6 +176,12 @@ def main() -> None:
     elif args.env == "evcharging":
         result = bench_generic("evcharging", min(args.batch, 16384),
                                min(args.steps, 288))
+    elif args.env == "electricitymarket":
+        result = bench_generic("electricitymarket", min(args.batch, 4096),
+                               min(args.steps, 288))
+    elif args.env == "datacenter":
+        result = bench_generic("datacenter", min(args.batch, 16384),
+                               min(args.steps, 672))
     else:
         raise SystemExit(f"unknown bench env {args.env}")
 

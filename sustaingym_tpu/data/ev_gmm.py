@@ -154,3 +154,40 @@ def build_gmm_trace_pack(site: str, date_period,
     if cache:
         np.savez_compressed(cache_file, **pack)
     return pack
+
+
+def main(argv=None) -> None:
+    """CLI mirror of the reference GMM trainer
+    (``python -m sustaingym.envs.evcharging.train_gmm_model``,
+    train_gmm_model.py:210-237): fits per-site/period GMMs from the packaged
+    session data and saves them beside the packaged pickles."""
+    import argparse
+    import pickle
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--site", default="caltech",
+                        choices=["caltech", "jpl"])
+    parser.add_argument("--gmm-n", type=int, default=30,
+                        help="number of mixture components")
+    parser.add_argument("--date-period", default="Summer 2021",
+                        help="default period name or 'YYYY-MM-DD YYYY-MM-DD'")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--out", default=None,
+                        help="output pickle path (default: print summary only)")
+    args = parser.parse_args(argv)
+
+    model = fit_gmm(args.site, args.date_period, n_components=args.gmm_n,
+                    seed=args.seed)
+    gmm = model["gmm"]
+    print(f"fit {args.gmm_n}-component GMM for {args.site} "
+          f"({args.date_period}): {len(model['count'])} days, "
+          f"avg {model['count'].mean():.1f} sessions/day, "
+          f"log-likelihood {gmm.lower_bound_:.3f}")
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(model, f)
+        print(f"saved -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
