@@ -72,6 +72,12 @@ class MarketState:
     prev_price: jax.Array
     cum_reward: jax.Array
     price_sum: jax.Array    # running sum for terminal penalty price
+    # PDHG warm start carried between steps: consecutive SCEDs shift the
+    # horizon one 5-min interval, so the previous solution is a near-optimal
+    # initial iterate (several-fold fewer iterations for equal accuracy)
+    warm_x: jax.Array       # (n,)
+    warm_y: jax.Array       # (me,)
+    warm_z: jax.Array       # (mi,)
 
 
 def _synthesize_load(n_days: int, month: int, seed: int = 7) -> np.ndarray:
@@ -93,7 +99,7 @@ def _synthesize_load(n_days: int, month: int, seed: int = 7) -> np.ndarray:
 
 def make_params(month: str = "2021-05",
                 horizon: int = 4,
-                lp_iters: int = 500,
+                lp_iters: int = 200,
                 intermediate_rewards: bool = True,
                 moer_ba: str = "SGIP_CAISO_PGE",
                 dtype=jnp.float32) -> MarketParams:
@@ -153,7 +159,10 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             prev_dispatch=jnp.zeros((), dtype),
             prev_price=jnp.zeros((), dtype),
             cum_reward=jnp.zeros((), dtype),
-            price_sum=jnp.zeros((), dtype))
+            price_sum=jnp.zeros((), dtype),
+            warm_x=jnp.zeros(params.op.n, dtype),
+            warm_y=jnp.zeros(params.op.me, dtype),
+            warm_z=jnp.zeros(params.op.mi, dtype))
         ts = TimeStep(obs=self._obs(params, state),
                       reward=jnp.zeros((), dtype),
                       terminated=jnp.zeros((), bool),
@@ -185,13 +194,15 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         energy_h = jnp.stack([e_room, state.energy])
         h = jnp.concatenate(flow_h + [jnp.tile(energy_h, k)])
 
-        sol = lp.solve_lp(params.op, c, b, h,
-                          jnp.zeros_like(params.ub), params.ub)
+        sol = lp.solve_lp(
+            params.op, c, b, h, jnp.zeros_like(params.ub), params.ub,
+            init=lp.LPSolution(x=state.warm_x, y=state.warm_y,
+                               z=state.warm_z))
         price = -sol.y[0]
         charge = sol.x[params.ic]
         discharge = sol.x[params.id]
         return {"price": price, "charge": charge, "discharge": discharge,
-                "gen_dispatch": sol.x[:params.n_gen]}
+                "gen_dispatch": sol.x[:params.n_gen], "sol": sol}
 
     def step(self, params: MarketParams, state: MarketState,
              action: jax.Array, key: jax.Array
@@ -233,10 +244,12 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         else:
             reward = jnp.where(terminated, cum, 0.0)
 
+        sol = cleared["sol"]
         new_state = MarketState(
             day=state.day, t=t_next, energy=energy, energy0=state.energy0,
             prev_action=action, prev_dispatch=dispatch_mwh,
-            prev_price=price, cum_reward=cum, price_sum=price_sum)
+            prev_price=price, cum_reward=cum, price_sum=price_sum,
+            warm_x=sol.x, warm_y=sol.y, warm_z=sol.z)
         ts = TimeStep(
             obs=self._obs(params, new_state),
             reward=reward, terminated=terminated,

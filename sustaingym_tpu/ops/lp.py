@@ -74,11 +74,23 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
 
 
 def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
-             lb: jax.Array, ub: jax.Array) -> LPSolution:
-    """Solves one LP (or a batch: all args broadcast over leading dims)."""
-    x = jnp.clip(jnp.zeros_like(c), lb, ub)
-    y = jnp.zeros_like(b)
-    z = jnp.zeros_like(h)
+             lb: jax.Array, ub: jax.Array,
+             init: LPSolution | None = None) -> LPSolution:
+    """Solves one LP (or a batch: all args broadcast over leading dims).
+
+    ``init`` warm-starts the primal/dual iterates — for sequences of
+    slowly-varying problems (receding-horizon SCED: each 5-min step shifts
+    the horizon one interval) this cuts the iterations needed for a given
+    tolerance several-fold.
+    """
+    if init is None:
+        x = jnp.clip(jnp.zeros_like(c), lb, ub)
+        y = jnp.zeros_like(b)
+        z = jnp.zeros_like(h)
+    else:
+        x = jnp.clip(init.x, lb, ub)
+        y = init.y
+        z = jnp.maximum(init.z, 0.0)
 
     def body(_, carry):
         x, y, z = carry
