@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["episode_slice_gather"]
+__all__ = ["episode_slice_gather", "hbm_slice_gather"]
 
 _LANES = 128
 # Max packed-table bytes we are willing to pin in VMEM alongside the output
@@ -151,3 +151,86 @@ def episode_slice_gather(table: jax.Array, starts: jax.Array, length: int
             or out_block_bytes > 6 * 1024 * 1024):
         return _xla_slice_gather(table, starts, length)
     return _pallas_slice_gather(table, starts, length)
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident variant: tables too large for VMEM (e.g. the EV step table,
+# ~27 MB). Each env's slice is one contiguous multi-KB DMA straight from the
+# HBM table into the output — no VMEM staging of the table, no lane padding.
+# ---------------------------------------------------------------------------
+
+def _hbm_kernel(starts_ref, table_ref, out_ref, sems, *, chunk: int,
+                rpe: int, nrows: int, subs: int):
+    """Grid step (i, j): issue ``chunk`` in-flight DMAs, one per env.
+
+    starts_ref: (smem_chunk,) int32 SMEM; table_ref/out_ref live in ANY
+    (HBM) and are indexed directly; sems: (chunk,) DMA semaphores.
+    """
+    j = pl.program_id(1)
+
+    def get_dma(c):
+        e = starts_ref[j * chunk + c]
+        g = (pl.program_id(0) * subs + j) * chunk + c
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(e * rpe, nrows), :],
+            out_ref.at[g],
+            sems.at[c])
+
+    for c in range(chunk):
+        get_dma(c).start()
+    for c in range(chunk):
+        get_dma(c).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("length", "interpret"))
+def _pallas_hbm_slice_gather(table: jax.Array, starts: jax.Array,
+                             length: int, interpret: bool = False
+                             ) -> jax.Array:
+    rows_in, c = table.shape
+    cp = int(np.ceil(c / _LANES)) * _LANES      # whole 128-lane rows/epoch
+    rpe = cp // _LANES
+    nrows = length * rpe
+    tp = jnp.pad(table, ((0, length), (0, cp - c)))
+    packed = tp.reshape(-1, _LANES)             # (rows * rpe, 128)
+
+    b = starts.shape[0]
+    smem_chunk = min(1024, b)
+    chunk = min(64, smem_chunk)                 # DMAs in flight
+    subs = smem_chunk // chunk
+    bp = int(np.ceil(b / smem_chunk)) * smem_chunk
+    starts_p = jnp.pad(starts.astype(jnp.int32), (0, bp - b))
+
+    out = pl.pallas_call(
+        functools.partial(_hbm_kernel, chunk=chunk, rpe=rpe, nrows=nrows,
+                          subs=subs),
+        grid=(bp // smem_chunk, subs),
+        in_specs=[
+            pl.BlockSpec((smem_chunk,), lambda i, j: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bp, nrows, _LANES), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((chunk,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=0, transcendentals=0,
+            bytes_accessed=bp * nrows * _LANES * 4 * 2),
+        interpret=interpret,
+    )(starts_p, packed)
+
+    return out.reshape(bp, length, cp)[:b, :, :c]
+
+
+def hbm_slice_gather(table: jax.Array, starts: jax.Array, length: int
+                     ) -> jax.Array:
+    """``stack([table[e : e + length] for e in starts])`` for LARGE tables.
+
+    Unlike :func:`episode_slice_gather` the table stays in HBM; each env's
+    slice moves as one contiguous DMA (rows are padded to whole 128-lane
+    units, so amplification is ceil(C/128)*128/C instead of XLA's 128/C for
+    narrow C). Use when the table exceeds the VMEM budget.
+    """
+    if jax.devices()[0].platform != "tpu":
+        return _xla_slice_gather(table, starts, length)
+    return _pallas_hbm_slice_gather(table, starts, length)

@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from sustaingym_tpu.ops.pallas.exog_gather import (
-    _pallas_slice_gather, _xla_slice_gather, episode_slice_gather)
+    _pallas_hbm_slice_gather, _pallas_slice_gather, _xla_slice_gather,
+    episode_slice_gather)
 
 
 @pytest.mark.parametrize("rows,cols,batch,length", [
@@ -26,6 +27,22 @@ def test_slice_gather_matches_xla(rows, cols, batch, length):
     ref = _xla_slice_gather(table, starts, length)
     on_tpu = jax.devices()[0].platform == "tpu"
     out = _pallas_slice_gather(table, starts, length, interpret=not on_tpu)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("rows,cols,batch,length", [
+    (2890, 201, 33, 96),     # EV step-table-like (2 lane-rows per epoch)
+    (500, 128, 7, 12),       # exactly one lane-row per epoch
+])
+def test_hbm_slice_gather_matches_xla(rows, cols, batch, length):
+    key = jax.random.PRNGKey(4)
+    table = jax.random.uniform(key, (rows, cols), jnp.float32)
+    starts = jax.random.randint(
+        jax.random.PRNGKey(5), (batch,), 0, rows - length)
+    ref = _xla_slice_gather(table, starts, length)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = _pallas_hbm_slice_gather(table, starts, length,
+                                   interpret=not on_tpu)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
