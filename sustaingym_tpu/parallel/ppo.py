@@ -255,13 +255,24 @@ def train(env: FunctionalEnv, env_params, cfg: PPOConfig, key: jax.Array,
 
     step = jax.jit(train_step, donate_argnums=0)
     history = []
-    for i in range(num_iterations):
-        carry, metrics = step(carry, jax.random.fold_in(k_train, i))
-        metrics = {k: float(v) for k, v in metrics.items()}
+
+    def fetch(i, metrics):
+        # one lagged batched device_get so the host round trip overlaps the
+        # next step's device compute (big win over tunneled devices)
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         history.append(metrics)
         if verbose:
             print(f"iter {i}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in metrics.items()))
+
+    pending = None
+    for i in range(num_iterations):
+        carry, metrics = step(carry, jax.random.fold_in(k_train, i))
+        if pending is not None:
+            fetch(*pending)
+        pending = (i, metrics)
+    if pending is not None:
+        fetch(*pending)
     return carry, history
 
 

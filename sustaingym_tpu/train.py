@@ -108,13 +108,16 @@ def main(argv: list[str] | None = None) -> None:
     ckpt_dir = os.path.join(args.log_dir, "checkpoints")
 
     steps_per_iter = cfg.num_envs * cfg.rollout_len
+
     with open(csv_path, "a", newline="") as f:
         writer = None
-        for i in range(start_iter, start_iter + args.iterations):
-            t0 = time.perf_counter()
-            carry, metrics = step(carry, jax.random.fold_in(key, 1000 + i))
-            metrics = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
+
+        def log(i, metrics, dt):
+            nonlocal writer
+            # ONE batched device_get per iteration, one step lagged, so the
+            # host round trip (expensive over tunneled devices) overlaps the
+            # next step's device compute instead of serializing with it
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             metrics.update(iteration=i, seconds=round(dt, 3),
                            env_steps_per_s=round(steps_per_iter / dt, 1))
             if writer is None:
@@ -125,9 +128,21 @@ def main(argv: list[str] | None = None) -> None:
             f.flush()
             print(f"iter {i}: reward={metrics['mean_reward']:.4f} "
                   f"({metrics['env_steps_per_s']:.0f} steps/s)")
+
+        pending = None
+        t_prev = time.perf_counter()
+        for i in range(start_iter, start_iter + args.iterations):
+            carry, metrics = step(carry, jax.random.fold_in(key, 1000 + i))
+            if pending is not None:
+                t_now = time.perf_counter()
+                log(pending[0], pending[1], t_now - t_prev)
+                t_prev = t_now
+            pending = (i, metrics)
             if (i + 1) % args.save_every == 0:
                 save_checkpoint(ckpt_dir, carry, i + 1)
                 print(f"checkpoint saved at iteration {i + 1}")
+        if pending is not None:
+            log(pending[0], pending[1], time.perf_counter() - t_prev)
 
     save_checkpoint(ckpt_dir, carry, start_iter + args.iterations)
     print(f"done; logs in {csv_path}")
