@@ -141,17 +141,27 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
     def step(self, params: DCParams, state: DCState, action: jax.Array,
              key: jax.Array) -> tuple[DCState, TimeStep]:
         del key
+        arrivals = params.arrivals[state.month, state.t]
+        m_t = params.moer[state.month, state.t]
+        fc = jax.lax.dynamic_slice(params.moer[state.month],
+                                   (state.t + 1,), (FORECAST_H,))
+        return self._step_exog(params, state, action, arrivals, m_t, fc)
+
+    def _step_exog(self, params: DCParams, state: DCState, action: jax.Array,
+                   arrivals: jax.Array, m_t: jax.Array, fc: jax.Array
+                   ) -> tuple[DCState, TimeStep]:
+        """Step given the hour's exogenous values (arrival job-hours, MOER
+        now, next-24h MOER forecast); shared by :meth:`step` and the
+        lockstep :meth:`batch_unroll`."""
         dtype = params.moer.dtype
         a = jnp.clip(jnp.reshape(jnp.asarray(action, dtype), ()), 0.0, 1.0)
 
         t = state.t
-        arrivals = params.arrivals[state.month, t]
         backlog = state.queue + arrivals
         cap = a * CAPACITY
         executed = jnp.minimum(backlog, cap)
         queue = backlog - executed
 
-        m_t = params.moer[state.month, t]
         carbon_cost = executed * m_t
 
         day_vcc_sum = state.day_vcc_sum + a
@@ -170,8 +180,11 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
             running=executed,
             day_vcc_sum=jnp.where(day_boundary, 0.0, day_vcc_sum),
             day_arrivals=jnp.where(day_boundary, 0.0, day_arrivals))
+        obs = jnp.concatenate([
+            a[None], executed[None], (queue / AVG_JOB_SIZE)[None], fc,
+        ]).astype(dtype)
         ts = TimeStep(
-            obs=self._obs(params, new_state),
+            obs=obs,
             reward=reward,
             terminated=t_next >= EPISODE_LEN,
             truncated=jnp.zeros((), bool),
@@ -179,6 +192,68 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
                   "delay_penalty": delay_penalty,
                   "queue": queue, "executed": executed})
         return new_state, ts
+
+    # ---- lockstep fast path ----------------------------------------------
+    def batch_unroll(self, params: DCParams, policy, policy_params,
+                     key: jax.Array, batch: int, num_steps: int) -> TimeStep:
+        """Fused lockstep rollout: one per-episode prefetch of each env's
+        packed [arrivals, moer] month table (Pallas slice gather) instead of
+        a full 696-wide MOER row gather per env per step. Same PRNG stream
+        as the generic path (exact parity — the env is deterministic given
+        the reset stream)."""
+        from ...ops.pallas import episode_slice_gather
+
+        L = EPISODE_LEN
+        rows = params.moer.shape[1]               # 696 = L + FORECAST_H
+        arr_pad = jnp.pad(params.arrivals,
+                          ((0, 0), (0, rows - params.arrivals.shape[1])))
+        flat = jnp.stack([arr_pad, params.moer], axis=-1).reshape(-1, 2)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        states, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(
+            params, init_keys)
+        obs = ts0.obs
+        keys = jax.random.split(key_scan, num_steps)
+        vstep = jax.vmap(self._step_exog, in_axes=(None, 0, 0, 0, 0, 1))
+
+        parts = []
+        t0 = 0
+        while t0 < num_steps:
+            seg_len = min(L, num_steps - t0)
+            block = episode_slice_gather(
+                flat, states.month * rows, rows)   # (B, rows, 2)
+            block = jnp.swapaxes(block, 0, 1)      # (rows, B, 2)
+            seg_keys = keys[t0:t0 + seg_len]
+
+            def body(carry, key_t):
+                states, obs, t = carry
+                key_act, key_env = jax.random.split(key_t)
+                actions = policy(policy_params, obs, key_act)
+                win = jax.lax.dynamic_slice(
+                    block, (t, jnp.zeros((), t.dtype),
+                            jnp.zeros((), t.dtype)),
+                    (FORECAST_H + 1, batch, 2))
+                states, ts = vstep(params, states, actions,
+                                   win[0, :, 0], win[0, :, 1], win[1:, :, 1])
+                return (states, ts.obs, t + 1), (ts, key_env)
+
+            (states, obs, _), (traj, env_keys) = jax.lax.scan(
+                body, (states, obs, jnp.zeros((), jnp.int32)), seg_keys)
+
+            if seg_len == L:
+                bkeys = jax.random.split(env_keys[-1], batch)
+                reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(bkeys)
+                states, ts_r = jax.vmap(self.reset, in_axes=(None, 0))(
+                    params, reset_keys)
+                obs = ts_r.obs
+                traj = traj.replace(obs=traj.obs.at[-1].set(obs))
+            parts.append(traj)
+            t0 += seg_len
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     def _obs(self, params: DCParams, state: DCState) -> jax.Array:
         """(27,) = [a(t-1), d_t, n_waiting, moer forecast 24h]

@@ -89,3 +89,24 @@ def test_vmap_batch(env_and_params):
                          jax.random.PRNGKey(0), 16, 24)
     assert traj.reward.shape == (24, 16)
     assert np.all(np.isfinite(np.asarray(traj.reward)))
+
+
+def test_batch_unroll_matches_generic():
+    """Lockstep fast path (month-table prefetch) vs generic vmap+autoreset:
+    exact parity (the env is deterministic given the reset stream)."""
+    env, params = dc.make_env()
+    batch = 6
+    for steps in (30, 680):  # partial; across an episode boundary
+        pol = random_policy(env, params, batch)
+        key = jax.random.PRNGKey(11)
+        fast = batch_rollout(env, params, pol, None, key, batch, steps)
+        slow = batch_rollout(env, params, pol, None, key, batch, steps,
+                             fast=False)
+        for name in ("reward", "terminated", "truncated"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fast, name)),
+                np.asarray(getattr(slow, name)), rtol=1e-6, atol=1e-6,
+                err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(fast.obs), np.asarray(slow.obs), rtol=1e-6,
+            atol=1e-6, err_msg="obs")
