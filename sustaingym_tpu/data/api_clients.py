@@ -62,12 +62,19 @@ def get_data_sgip(starttime: str, endtime: str, ba: str, req_type: str,
     http = http or _http()
     user = os.environ.get("SGIP_USERNAME", "sgipmoer")
     password = os.environ.get("SGIP_PASSWORD", "caisotracer")
-    token = http.get(SGIP_LOGIN_URL, auth=(user, password)).json()["token"]
+    login = http.get(SGIP_LOGIN_URL, auth=(user, password)).json()
+    if "token" not in login:
+        raise RuntimeError(f"SGIP authentication failed: {login!r}")
     params = dict(ba=ba, starttime=starttime, endtime=endtime,
                   version=SGIP_DATA_VERSIONS[req_type])
     r = http.get(SGIP_DATA_URLS[req_type], params=params,
-                 headers={"Authorization": f"Bearer {token}"})
-    df = pd.DataFrame(r.json())
+                 headers={"Authorization": f"Bearer {login['token']}"})
+    payload = r.json()
+    if not isinstance(payload, list) or not payload:
+        raise RuntimeError(
+            f"SGIP returned no {req_type} data for {ba} "
+            f"{starttime}..{endtime}: {payload!r}")
+    df = pd.DataFrame(payload)
     df = df.set_index(pd.DatetimeIndex(df[SGIP_TIME_COLUMN[req_type]],
                                        tz="UTC"))
     df.index.name = "time"

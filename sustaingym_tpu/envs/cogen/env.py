@@ -311,7 +311,11 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
                 prev_action, obs, t = carry
                 key_t = inp
                 key_act, key_env = jax.random.split(key_t)
-                actions = policy(policy_params, obs, key_act)
+                # cast like the generic step() does before _step_core, so
+                # the carry dtype (and obs Prev_Action) match the generic
+                # path for non-f32 params
+                actions = jnp.asarray(
+                    policy(policy_params, obs, key_act), dtype)
                 window = jax.lax.dynamic_slice(
                     block, (t, jnp.zeros((), t.dtype), jnp.zeros((), t.dtype)),
                     (h + 2, batch, block.shape[-1]))

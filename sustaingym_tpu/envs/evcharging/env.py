@@ -57,18 +57,15 @@ class EVParams:
     ev_data: jax.Array       # (n_days, MAX_EVS, 4) [arr, dep, est, req_kwh]
     ev_station: jax.Array    # (n_days, MAX_EVS) int32
     ev_mask: jax.Array       # (n_days, MAX_EVS) bool
-    # dense per-station event grids: plug events keyed by (day, t, station)
-    # — one (n,) gather per step instead of a MAX_EVS scan+scatter
-    plug_dep: jax.Array      # (n_days, 289, n) f32, 0 = no arrival
-    plug_est: jax.Array      # (n_days, 289, n)
-    plug_req: jax.Array      # (n_days, 289, n)
     # per-day episode info (precomputed; the reference recomputes
     # max_profit once per reset, env.py:322)
     day_max_profit: jax.Array  # (n_days,)
     day_num_evs: jax.Array     # (n_days,) int32
     # packed per-(day, t) step table: [plug_dep(n), plug_est(n), plug_req(n),
     # moer_row(t+1)(37), max_profit, num_evs] — ONE row gather per step
-    # instead of five (TPU gather cost is per-index)
+    # instead of five (TPU gather cost is per-index). The dense per-station
+    # plug-event grids exist only inside this pack (plug events keyed by
+    # (day, t, station): dep/est/req, 0 = no arrival).
     step_table: jax.Array    # (n_days, 289, 3n + 39)
     # network constants
     constraint_re: jax.Array  # (m, n) Re(A~)
@@ -172,9 +169,6 @@ def make_params(site: str = "caltech",
         ev_data=jnp.asarray(traces["ev_data"], dtype),
         ev_station=jnp.asarray(traces["ev_station"], jnp.int32),
         ev_mask=jnp.asarray(traces["ev_mask"]),
-        plug_dep=jnp.asarray(plug_dep, dtype),
-        plug_est=jnp.asarray(plug_est, dtype),
-        plug_req=jnp.asarray(plug_req, dtype),
         day_max_profit=jnp.asarray(day_max_profit, dtype),
         day_num_evs=jnp.asarray(day_num_evs, jnp.int32),
         step_table=jnp.asarray(step_table, dtype),

@@ -102,9 +102,12 @@ def _pallas_slice_gather(table: jax.Array, starts: jax.Array, length: int,
     b = starts.shape[0]
     # s32[B] operands get an XLA layout tiled at 1024: the SMEM block must be
     # 1024-wide. The VMEM output block is kept smaller (512 envs) via a
-    # second grid dimension walking subchunks of the SMEM block.
+    # second grid dimension walking subchunks of the SMEM block. smem_chunk
+    # is rounded UP to a multiple of chunk so subs covers every env (a
+    # floored subs would silently leave the tail of the output unwritten).
     smem_chunk = min(1024, b)
     chunk = min(512, smem_chunk)
+    smem_chunk = int(np.ceil(smem_chunk / chunk)) * chunk
     subs = smem_chunk // chunk
     bp = int(np.ceil(b / smem_chunk)) * smem_chunk
     starts_p = jnp.pad(starts.astype(jnp.int32), (0, bp - b))
@@ -145,7 +148,8 @@ def episode_slice_gather(table: jax.Array, starts: jax.Array, length: int
     epr = _LANES // cp
     packed_bytes = int(np.ceil(rows / epr)) * _LANES * table.dtype.itemsize
     nr = int(np.ceil(length * cp / _LANES))
-    out_block_bytes = 1024 * nr * _LANES * table.dtype.itemsize
+    # the VMEM output block holds at most 512 envs (see _pallas_slice_gather)
+    out_block_bytes = 512 * nr * _LANES * table.dtype.itemsize
     platform = jax.devices()[0].platform
     if (platform != "tpu" or c > _LANES or packed_bytes > _MAX_TABLE_BYTES
             or out_block_bytes > 6 * 1024 * 1024):
@@ -196,6 +200,8 @@ def _pallas_hbm_slice_gather(table: jax.Array, starts: jax.Array,
     b = starts.shape[0]
     smem_chunk = min(1024, b)
     chunk = min(64, smem_chunk)                 # DMAs in flight
+    # round smem_chunk up to a chunk multiple so subs covers every env
+    smem_chunk = int(np.ceil(smem_chunk / chunk)) * chunk
     subs = smem_chunk // chunk
     bp = int(np.ceil(b / smem_chunk)) * smem_chunk
     starts_p = jnp.pad(starts.astype(jnp.int32), (0, bp - b))

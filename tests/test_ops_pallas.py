@@ -18,6 +18,10 @@ from sustaingym_tpu.ops.pallas.exog_gather import (
     (105408, 4, 64, 7),      # partial segment
     (1000, 7, 33, 96),       # cogen-like (odd cols -> padded to 8)
     (513, 1, 5, 17),         # degenerate small
+    (4096, 4, 768, 32),      # batch between chunk (512) and smem block:
+    (4096, 4, 1025, 32),     # the subchunk count must round UP (regression
+                             # for a floored-subs bug that left the output
+                             # tail unwritten)
 ])
 def test_slice_gather_matches_xla(rows, cols, batch, length):
     key = jax.random.PRNGKey(0)
@@ -33,6 +37,7 @@ def test_slice_gather_matches_xla(rows, cols, batch, length):
 @pytest.mark.parametrize("rows,cols,batch,length", [
     (2890, 201, 33, 96),     # EV step-table-like (2 lane-rows per epoch)
     (500, 128, 7, 12),       # exactly one lane-row per epoch
+    (2890, 201, 100, 96),    # batch not a multiple of the DMA chunk (64)
 ])
 def test_hbm_slice_gather_matches_xla(rows, cols, batch, length):
     key = jax.random.PRNGKey(4)
