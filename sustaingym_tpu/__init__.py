@@ -72,3 +72,22 @@ def _populate_registry() -> None:
             continue
         if hasattr(mod, "make_env"):
             register(name, mod.make_env)
+
+    from .envs import multiagent as ma
+
+    def _ma_ev(**kw):
+        return ma.MultiAgentEVChargingEnv(), ma.make_ma_ev_params(**kw)
+
+    def _ma_building(**kw):
+        from .envs.building import make_env
+        _, params = make_env(**kw)
+        return ma.MultiAgentBuildingEnv(), params
+
+    def _ma_cogen(**kw):
+        from .envs.cogen import make_env
+        _, params = make_env(**kw)
+        return ma.MultiAgentCogenEnv(), params
+
+    register("evcharging-multiagent", _ma_ev)
+    register("building-multiagent", _ma_building)
+    register("cogen-multiagent", _ma_cogen)

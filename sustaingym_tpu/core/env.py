@@ -61,6 +61,11 @@ class FunctionalEnv(Generic[P, S]):
     #: name used by the registry
     name: str = "abstract"
 
+    #: True for multi-agent views whose obs carry an (n_agents, obs_dim)
+    #: leading axis and rewards an (n_agents,) axis — shared-policy learners
+    #: (parallel.ppo) then treat the agent axis as an extra batch dimension
+    agent_axis: bool = False
+
     # ---- pure API -------------------------------------------------------
     def reset(self, params: P, key: jax.Array) -> tuple[S, TimeStep]:
         raise NotImplementedError

@@ -46,6 +46,7 @@ class MultiAgentBuildingEnv(FunctionalEnv):
     (n_agents,) same global reward."""
 
     name = "building-multiagent"
+    agent_axis = True
 
     def __init__(self, base: BuildingEnv | None = None):
         self.base = base or BuildingEnv()
@@ -185,6 +186,7 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
     stations != i and current values for themselves."""
 
     name = "evcharging-multiagent"
+    agent_axis = True
 
     def __init__(self, base: EVChargingEnv | None = None):
         self.base = base or EVChargingEnv()

@@ -121,6 +121,14 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     rollout+update program: jit it with shardings from parallel.mesh."""
     step_fn = autoreset_step(env)
     vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
+    # multi-agent views (env.agent_axis): obs are already flat float arrays
+    # with an (n_agents, D) leading axis; the shared policy treats the agent
+    # axis as extra batch and act_dim is PER AGENT (the reference trains one
+    # RLLib policy per agent, examples/cogen/train_rllib.py:119-132; shared
+    # parameters are the batched equivalent)
+    ma = bool(getattr(env, "agent_axis", False))
+    if ma and obs_fn is None:
+        obs_fn = lambda o: jnp.asarray(o, jnp.float32)  # noqa: E731
     obs_fn = obs_fn or flat_obs_fn(env, env_params)
     act_transform = act_transform or default_act_transform(env, env_params)
     opt = optax.chain(
@@ -128,7 +136,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         optax.adam(cfg.lr))
 
     space = env.action_space(env_params)
-    act_dim = int(np.prod(space.shape)) if space.shape else 1
+    if not space.shape:
+        act_dim = 1
+    elif ma:
+        act_dim = int(space.shape[-1])
+    else:
+        act_dim = int(np.prod(space.shape))
 
     def init_state(key):
         kp, kr = jax.random.split(key)
@@ -151,8 +164,11 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             env_keys = jax.random.split(k_env, cfg.num_envs)
             states, ts = vstep(env_params, states, action, env_keys)
             next_obs = jax.vmap(obs_fn)(ts.obs)
+            done = ts.done
+            if done.ndim < ts.reward.ndim:   # agent-axis rewards
+                done = jnp.broadcast_to(done[..., None], ts.reward.shape)
             out = {"obs": obs, "u": u, "logp": logp, "value": value,
-                   "reward": ts.reward, "done": ts.done}
+                   "reward": ts.reward, "done": done}
             return (states, next_obs), out
 
         keys = jax.random.split(key, cfg.rollout_len)
@@ -196,7 +212,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             policy, carry["env_states"], carry["obs"], k_roll)
         advs, rets = gae(traj, last_value)
 
-        n = cfg.rollout_len * cfg.num_envs
+        # total sample count: time x envs (x agents for agent-axis views)
+        n = int(np.prod(traj["logp"].shape))
         flat = {
             "obs": traj["obs"].reshape(n, -1),
             "u": traj["u"].reshape(n, -1),

@@ -95,3 +95,38 @@ def test_sharded_train_step_matches_mesh():
     assert "mp" in str(sh.spec)
     carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_ppo_multiagent_ev_smoke():
+    """Shared-policy PPO over the agent-axis MA EV view: the agent axis is
+    extra batch, act_dim is per-agent (the batched analogue of the
+    reference's per-agent RLLib policies, train_rllib.py:119-132)."""
+    import sustaingym_tpu as sg
+    from sustaingym_tpu.parallel import PPOConfig
+    from sustaingym_tpu.parallel.ppo import make_train_step
+
+    env, params = sg.make("evcharging-multiagent", periods_delay=1,
+                          project_action=False)
+    cfg = PPOConfig(num_envs=4, rollout_len=6, hidden=32, epochs=1,
+                    minibatches=2)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    n_agents = params.base.n_stations
+    assert carry["obs"].shape[1] == n_agents
+    carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_ppo_multiagent_building_smoke():
+    import sustaingym_tpu as sg
+    from sustaingym_tpu.parallel import PPOConfig
+    from sustaingym_tpu.parallel.ppo import make_train_step
+
+    env, params = sg.make("building-multiagent")
+    cfg = PPOConfig(num_envs=4, rollout_len=5, hidden=32, epochs=1,
+                    minibatches=1)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["mean_reward"]))
