@@ -130,3 +130,23 @@ def test_ppo_multiagent_building_smoke():
     carry = init_state(jax.random.PRNGKey(0))
     carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_ppo_multiagent_ev_sharded_mesh():
+    """The BASELINE ladder's top config: multi-agent EVCharging sharded over
+    a device mesh feeding the PPO learner — env batch + trajectories over
+    'dp', tensor-parallel MLP over 'mp' (8 virtual CPU devices in CI; the
+    identical program spans real hosts via jax.distributed)."""
+    import sustaingym_tpu as sg
+
+    env, params = sg.make("evcharging-multiagent", periods_delay=1,
+                          project_action=False)
+    cfg = PPOConfig(num_envs=16, rollout_len=4, hidden=32, epochs=1,
+                    minibatches=2)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, mp=2)
+    carry = _shard_carry(carry, mesh, data_sharding(mesh), replicated(mesh))
+    carry, metrics = jax.jit(train_step, donate_argnums=0)(
+        carry, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["pg_loss"]))
