@@ -42,7 +42,7 @@ def _xla_slice_gather(table: jax.Array, starts: jax.Array, length: int
 
 
 def _kernel(starts_ref, table_ref, out_ref, *, chunk: int, nr: int, epr: int,
-            cp: int):
+            cp: int, unroll: int):
     """Per grid step: gather ``chunk`` envs' slices out of the VMEM table.
 
     starts_ref: (smem_chunk,) int32 in SMEM — epoch starts; grid dim 1 walks
@@ -50,13 +50,18 @@ def _kernel(starts_ref, table_ref, out_ref, *, chunk: int, nr: int, epr: int,
                 SMEM blocks, but a 1024-env VMEM output block would OOM).
     table_ref: (rows, 128) f32 in VMEM — whole packed table (row = epr epochs).
     out_ref:   (chunk, nr, 128) f32 in VMEM.
+
+    The env loop is unrolled ``unroll``-wide: the per-env scalar chain
+    (address computation, dynamic-slice setup) is the bottleneck, and
+    unrolling lets the scalar core run ahead of the vector ops (~25%
+    faster at 8 on v5e).
     """
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (nr, _LANES), 1)
     sub = pl.program_id(1)
 
-    def body(ci, _):
-        e = starts_ref[sub * chunk + ci]
+    def one(c):
+        e = starts_ref[sub * chunk + c]
         base = e // epr
         r = e % epr
         span = table_ref[pl.ds(base, nr + 1), :]    # (nr+1, 128)
@@ -69,10 +74,14 @@ def _kernel(starts_ref, table_ref, out_ref, *, chunk: int, nr: int, epr: int,
         rl = pltpu.roll(left, shift=_LANES - s, axis=1)
         rr = pltpu.roll(right, shift=_LANES - s, axis=1)
         res = jnp.where(lane < _LANES - s, rl, rr)
-        out_ref[pl.ds(ci, 1)] = res.reshape(1, nr, _LANES)
+        out_ref[pl.ds(c, 1)] = res.reshape(1, nr, _LANES)
+
+    def body(ci, _):
+        for g in range(unroll):
+            one(ci * unroll + g)
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
 def _padded_cols(c: int) -> int:
@@ -112,8 +121,10 @@ def _pallas_slice_gather(table: jax.Array, starts: jax.Array, length: int,
     bp = int(np.ceil(b / smem_chunk)) * smem_chunk
     starts_p = jnp.pad(starts.astype(jnp.int32), (0, bp - b))
 
+    unroll = next(g for g in (8, 4, 2, 1) if chunk % g == 0)
     out = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk, nr=nr, epr=epr, cp=cp),
+        functools.partial(_kernel, chunk=chunk, nr=nr, epr=epr, cp=cp,
+                          unroll=unroll),
         grid=(bp // smem_chunk, subs),
         in_specs=[
             pl.BlockSpec((smem_chunk,), lambda i, j: (i,),
