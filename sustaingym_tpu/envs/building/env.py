@@ -390,6 +390,141 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
+    def fused_rollout(self, params: BuildingParams, key: jax.Array,
+                      batch: int, num_steps: int, actions: jax.Array | None
+                      = None, il: int = 8, width: int = 128,
+                      interpret: bool = False) -> TimeStep:
+        """Maximum-throughput rollout: whole episode segments run inside one
+        Pallas kernel per env tile (ops/pallas/building_rollout.py).
+
+        Semantics match :meth:`batch_unroll` except the policy: with
+        ``actions`` (shape (num_steps, batch, n), exercised by the parity
+        tests) the trajectory matches the XLA path to float tolerance; with
+        ``actions=None`` the kernel draws uniform U(-ac, ac) actions from
+        the on-core PRNG — the same distribution as ``random_policy`` on a
+        counter-based stream (different bits than jax.random). Reset-epoch
+        streams reuse the jax.random derivation of :meth:`batch_unroll`, so
+        episode CONTENT (weather slices) is identically distributed.
+        568M env-steps/s measured on one v5e at batch 65536 (il=8, w=128).
+
+        Requires: continuous actions, physics dynamics, p=2 reward, n <= 8,
+        batch % (il * width) == 0. Falls back to :meth:`batch_unroll` (with
+        its key-derived random policy) otherwise when ``actions`` is None.
+        """
+        from ...ops.pallas import episode_slice_gather
+        from ...ops.pallas.building_rollout import (build_operator,
+                                                    fused_building_segment)
+
+        tile = il * width
+        supported = (params.is_continuous_action and not params.data_driven
+                     and params.reward_pnorm == 2 and params.n <= 8
+                     and batch % tile == 0
+                     and params.A_d.dtype == jnp.float32)
+        if not supported:
+            if actions is not None:
+                raise ValueError("fused_rollout with explicit actions "
+                                 "requires a supported config")
+            from ...core.rollout import random_policy
+            return self.batch_unroll(params, random_policy(self, params,
+                                                           batch), None,
+                                     key, batch, num_steps)
+
+        n = params.n
+        L = params.episode_len
+        Tw = params.length_of_weather
+        nb = batch // tile
+        m = build_operator(params)
+        consts = jnp.zeros((32, width), jnp.float32)
+        consts = consts.at[0:n].set(
+            jnp.broadcast_to(params.ac_map[:, None], (n, width)))
+        consts = consts.at[8:8 + n].set(
+            jnp.broadcast_to(params.target[:, None], (n, width)))
+        consts = consts.at[16].set(params.q_rate)
+        consts = consts.at[17].set(params.error_rate)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        e0 = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, Tw - 1))(init_keys)
+        keys = jax.random.split(key_scan, num_steps)
+        dummy_acts = jnp.zeros((1, 1, 1, 8, width), jnp.float32)
+
+        parts = []
+        t0 = 0
+        seg_idx = 0
+        while t0 < num_steps:
+            seg_len = min(L, num_steps - t0)
+            blk = episode_slice_gather(params.exog, e0, seg_len)
+            wx = jnp.transpose(
+                blk.reshape(nb, il, width, seg_len, 4), (0, 1, 3, 4, 2))
+            if actions is None:
+                acts_k = dummy_acts
+                seed = jax.random.randint(
+                    jax.random.fold_in(key_scan, seg_idx), (), 0, 2 ** 31 - 1)
+            else:
+                a = actions[t0:t0 + seg_len]           # (seg, B, n)
+                a8 = jnp.zeros((seg_len, batch, 8),
+                               jnp.float32).at[:, :, :n].set(a)
+                acts_k = jnp.transpose(
+                    a8.reshape(seg_len, nb, il, width, 8), (1, 2, 0, 4, 3))
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_building_segment(
+                m, consts, wx, acts_k, seed, seg_len, n, il, width,
+                use_rng=actions is None, interpret=interpret)
+            # unpack (nb, il, seg, 16, width): slice each field from the raw
+            # buffer BEFORE transposing so XLA can DCE whatever the caller
+            # doesn't use (a shared (seg, B, 16) transpose would materialize
+            # the full 4.8 GB even for a rewards-only consumer)
+            def field(lo, hi=None):
+                sl = out[:, :, :, lo, :] if hi is None \
+                    else out[:, :, :, lo:hi, :]
+                perm = (2, 0, 1, 3) if hi is None else (2, 0, 1, 4, 3)
+                y = jnp.transpose(sl, perm)
+                shape = (seg_len, batch) if hi is None \
+                    else (seg_len, batch, hi - lo)
+                return y.reshape(shape)
+
+            x_new = field(0, n)
+            occ = field(8)
+            reward = field(9)
+            comfort_cost = field(10)
+            power_cost = field(11)
+            w_tm = jnp.swapaxes(blk, 0, 1)             # (seg, B, 4)
+            obs = jnp.concatenate([
+                x_new, w_tm[..., 0:3], (occ / 1000.0)[..., None]], axis=-1)
+            done = jnp.zeros((seg_len, batch), bool)
+            if seg_len == L:
+                done = done.at[-1].set(True)
+            ts = TimeStep(
+                obs=obs, reward=reward, terminated=done, truncated=done,
+                info={"zone_temperature": x_new,
+                      "comfort_level": -comfort_cost,
+                      "power_consumption": -power_cost})
+
+            if seg_len == L:
+                # autoreset splice, same derivation as batch_unroll:
+                # key_t -> (act, env) -> per-env keys -> (step, reset)
+                _, key_env = jax.random.split(keys[t0 + seg_len - 1])
+                bkeys = jax.random.split(key_env, batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                e0 = jax.vmap(lambda k: jax.random.randint(
+                    k, (), 0, Tw - 1))(reset_keys)
+                row0 = params.exog[e0]
+                avg0 = _seq_sum(params.target, n) / n
+                occ0 = calc_occupower(avg0, row0[:, 3])
+                reset_obs = jnp.concatenate([
+                    jnp.broadcast_to(params.target, (batch, n)),
+                    row0[:, 0:3], (occ0 / 1000.0)[:, None]], axis=1)
+                ts = ts.replace(obs=ts.obs.at[-1].set(reset_obs))
+            parts.append(ts)
+            t0 += seg_len
+            seg_idx += 1
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     def _obs(self, params: BuildingParams, state: BuildingState,
              exog_row: jax.Array | None = None) -> jax.Array:
         """obs = [zone temps (n), out temp, ground temp, ghi, occupower/1000]
