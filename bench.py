@@ -140,6 +140,38 @@ def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
     }
 
 
+def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3
+                ) -> dict:
+    import jax
+
+    from sustaingym_tpu import make
+
+    env, params = make(env_name)
+
+    @jax.jit
+    def run(key):
+        traj = env.fused_rollout(params, key, batch, steps)
+        return traj.reward.sum()
+
+    key = jax.random.PRNGKey(0)
+    run(key).block_until_ready()
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "metric": f"{env_name}_env_steps_per_s_per_chip",
+        "value": round(batch * steps / best, 1),
+        "unit": "env-steps/s",
+        "batch": batch,
+        "scan_steps": steps,
+        "device": str(jax.devices()[0]),
+        "mode": "fused_pallas_rollout",
+    }
+
+
 def measure_reference() -> None:
     """Measures the reference engine on this machine (requires the reference
     tree at /root/reference and the pvlib shim)."""
@@ -175,7 +207,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="building")
     parser.add_argument("--batch", type=int, default=131072)
-    parser.add_argument("--steps", type=int, default=288)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="scan length (default: the env's episode "
+                             "length: 288, cogen 96, datacenter 672)")
     parser.add_argument("--measure-reference", action="store_true")
     parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
                         default=True,
@@ -187,22 +221,27 @@ def main() -> None:
         measure_reference()
         return
 
+    steps = args.steps or {"cogen": 96, "datacenter": 672}.get(args.env, 288)
     if args.env == "building":
         # the XLA path hits a compile pathology beyond 64k envs; the fused
         # kernel scales to HBM capacity
         batch = args.batch if args.fused else min(args.batch, 65536)
-        result = bench_building(batch, args.steps, fused=args.fused)
+        result = bench_building(batch, steps, fused=args.fused)
     elif args.env == "cogen":
-        result = bench_cogen(min(args.batch, 65536), min(args.steps, 96))
+        result = bench_cogen(min(args.batch, 65536), min(steps, 96))
     elif args.env == "evcharging":
         result = bench_generic("evcharging", min(args.batch, 16384),
-                               min(args.steps, 288))
+                               min(steps, 288))
     elif args.env == "electricitymarket":
         result = bench_generic("electricitymarket", min(args.batch, 4096),
-                               min(args.steps, 288))
+                               min(steps, 288))
     elif args.env == "datacenter":
-        result = bench_generic("datacenter", min(args.batch, 16384),
-                               min(args.steps, 672))
+        if args.fused:
+            result = bench_fused("datacenter", min(args.batch, 262144),
+                                 min(steps, 672))
+        else:
+            result = bench_generic("datacenter", min(args.batch, 16384),
+                                   min(steps, 672))
     else:
         raise SystemExit(f"unknown bench env {args.env}")
 

@@ -462,7 +462,7 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
                 seed = jax.random.randint(
                     jax.random.fold_in(key_scan, seg_idx), (), 0, 2 ** 31 - 1)
             else:
-                a = actions[t0:t0 + seg_len]           # (seg, B, n)
+                a = jnp.asarray(actions[t0:t0 + seg_len], jnp.float32)
                 a8 = jnp.zeros((seg_len, batch, 8),
                                jnp.float32).at[:, :, :n].set(a)
                 acts_k = jnp.transpose(

@@ -255,6 +255,111 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
+    def fused_rollout(self, params: DCParams, key: jax.Array, batch: int,
+                      num_steps: int, actions: jax.Array | None = None,
+                      il: int = 8, width: int = 128,
+                      interpret: bool = False) -> TimeStep:
+        """Maximum-throughput rollout: whole episode segments inside one
+        Pallas kernel per env tile (ops/pallas/dc_rollout.py). Semantics of
+        :meth:`batch_unroll` with the policy drawn U(0,1) from the on-core
+        PRNG (counter-based stream; ``actions`` (num_steps, batch, 1) backs
+        the parity tests). Requires batch % (il*width) == 0; falls back to
+        :meth:`batch_unroll` otherwise."""
+        from ...ops.pallas import episode_slice_gather
+        from ...ops.pallas.dc_rollout import fused_dc_segment
+
+        tile = il * width
+        if batch % tile != 0 or params.moer.dtype != jnp.float32:
+            if actions is not None:
+                raise ValueError("fused_rollout with explicit actions "
+                                 "requires batch % (il*width) == 0")
+            from ...core.rollout import random_policy
+            return self.batch_unroll(params, random_policy(self, params,
+                                                           batch), None,
+                                     key, batch, num_steps)
+
+        L = EPISODE_LEN
+        rows = params.moer.shape[1]
+        nb = batch // tile
+        arr_pad = jnp.pad(params.arrivals,
+                          ((0, 0), (0, rows - params.arrivals.shape[1])))
+        flat = jnp.stack([arr_pad, params.moer], axis=-1).reshape(-1, 2)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        months = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, params.n_months)
+        )(init_keys)
+        keys = jax.random.split(key_scan, num_steps)
+        dummy_acts = jnp.zeros((1, 1, 1, 1, width), jnp.float32)
+
+        parts = []
+        t0 = 0
+        seg_idx = 0
+        while t0 < num_steps:
+            seg_len = min(L, num_steps - t0)
+            blk = episode_slice_gather(flat, months * rows, rows)  # (B,rows,2)
+            wx = jnp.transpose(
+                blk[:, :seg_len].reshape(nb, il, width, seg_len, 2),
+                (0, 1, 3, 4, 2))
+            if actions is None:
+                acts_k = dummy_acts
+                seed = jax.random.randint(
+                    jax.random.fold_in(key_scan, seg_idx), (), 0, 2 ** 31 - 1)
+            else:
+                a1 = jnp.asarray(actions[t0:t0 + seg_len],
+                                 jnp.float32).reshape(seg_len, batch, 1)
+                acts_k = jnp.transpose(
+                    a1.reshape(seg_len, nb, il, width, 1), (1, 2, 0, 4, 3))
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_dc_segment(wx, acts_k, seed, seg_len, il, width,
+                                   use_rng=actions is None,
+                                   interpret=interpret)
+
+            def field(r, out=out, seg_len=seg_len):
+                return jnp.transpose(out[:, :, :, r, :],
+                                     (2, 0, 1, 3)).reshape(seg_len, batch)
+
+            a_t = field(0)
+            executed = field(1)
+            queue = field(2)
+            reward = field(3)
+            carbon = field(4)
+            delay = field(5)
+            # obs: [prev_a, executed, n_waiting, 24h moer forecast]
+            moer_tm = jnp.swapaxes(blk[..., 1], 0, 1)       # (rows, B)
+            fc = jnp.stack([moer_tm[1 + k:1 + k + seg_len]
+                            for k in range(FORECAST_H)], axis=-1)
+            obs = jnp.concatenate([
+                a_t[..., None], executed[..., None],
+                (queue / AVG_JOB_SIZE)[..., None], fc], axis=-1)
+            done = jnp.zeros((seg_len, batch), bool)
+            if seg_len == L:
+                done = done.at[-1].set(True)
+            ts = TimeStep(obs=obs, reward=reward, terminated=done,
+                          truncated=jnp.zeros((seg_len, batch), bool),
+                          info={"carbon_cost": carbon,
+                                "delay_penalty": delay,
+                                "queue": queue, "executed": executed})
+
+            if seg_len == L:
+                # autoreset splice (batch_unroll key derivation)
+                _, key_env = jax.random.split(keys[t0 + seg_len - 1])
+                bkeys = jax.random.split(key_env, batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                states, ts_r = jax.vmap(self.reset, in_axes=(None, 0))(
+                    params, reset_keys)
+                months = states.month
+                ts = ts.replace(obs=ts.obs.at[-1].set(ts_r.obs))
+            parts.append(ts)
+            t0 += seg_len
+            seg_idx += 1
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     def _obs(self, params: DCParams, state: DCState) -> jax.Array:
         """(27,) = [a(t-1), d_t, n_waiting, moer forecast 24h]
         (docs/datacenterenv.md:8)."""
