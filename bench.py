@@ -213,8 +213,9 @@ def main() -> None:
     parser.add_argument("--measure-reference", action="store_true")
     parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
                         default=True,
-                        help="building: whole-episode Pallas kernel rollout "
-                             "(--no-fused = the parity-exact XLA path)")
+                        help="building/cogen/datacenter: whole-episode Pallas "
+                             "kernel rollout (--no-fused = the parity-exact "
+                             "XLA path)")
     args = parser.parse_args()
 
     if args.measure_reference:
@@ -228,7 +229,11 @@ def main() -> None:
         batch = args.batch if args.fused else min(args.batch, 65536)
         result = bench_building(batch, steps, fused=args.fused)
     elif args.env == "cogen":
-        result = bench_cogen(min(args.batch, 65536), min(steps, 96))
+        if args.fused:
+            result = bench_fused("cogen", min(args.batch, 262144),
+                                 min(steps, 96))
+        else:
+            result = bench_cogen(min(args.batch, 65536), min(steps, 96))
     elif args.env == "evcharging":
         result = bench_generic("evcharging", min(args.batch, 16384),
                                min(steps, 288))

@@ -360,6 +360,153 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
+    def fused_rollout(self, params: CogenParams, key: jax.Array, batch: int,
+                      num_steps: int, actions: jax.Array | None = None,
+                      il: int = 4, width: int = 128,
+                      interpret: bool = False) -> TimeStep:
+        """Maximum-throughput rollout: whole dispatch days inside one Pallas
+        kernel per env tile (ops/pallas/cogen_rollout.py) — the plant
+        surrogate unrolled over the three gas turbines as lane-row ops.
+
+        Policy: U over the flat action space (Box components uniform,
+        Bernoulli switches, integer bays — sample_action's distribution) on
+        the on-core PRNG; ``actions`` (num_steps, batch, 15) backs parity
+        tests. Requires noiseless forecasts (the default) and
+        batch % (il*width) == 0; falls back to :meth:`batch_unroll`.
+        """
+        from ...ops.pallas import episode_slice_gather
+        from ...ops.pallas.cogen_rollout import fused_cogen_segment
+
+        tile = il * width
+        try:
+            noiseless = float(params.forecast_noise_std) == 0.0
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            noiseless = False
+        if (batch % tile != 0 or not noiseless
+                or params.ambients.dtype != jnp.float32):
+            if actions is not None:
+                raise ValueError("fused_rollout with explicit actions "
+                                 "requires a supported config")
+            from ...core.rollout import random_policy
+            return self.batch_unroll(params, random_policy(self, params,
+                                                           batch), None,
+                                     key, batch, num_steps)
+
+        L = params.timesteps_per_day
+        h = params.forecast_horizon
+        day_rows = L + h + 1
+        nb = batch // tile
+        flat_amb = params.ambients.reshape(-1, params.ambients.shape[-1])
+        nchan = params.ambients.shape[-1]           # 7
+
+        consts = jnp.zeros((40, width), jnp.float32)
+        consts = consts.at[0:15].set(
+            jnp.broadcast_to(jnp.asarray(ACTION_LOW, jnp.float32)[:, None],
+                             (15, width)))
+        consts = consts.at[16:31].set(
+            jnp.broadcast_to(jnp.asarray(ACTION_HIGH, jnp.float32)[:, None],
+                             (15, width)))
+        consts = consts.at[32].set(params.ramp_penalty)
+        consts = consts.at[33].set(params.supply_imbalance_penalty)
+        consts = consts.at[34].set(params.constraint_violation_penalty)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        states, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(
+            params, init_keys)
+        days = states.day
+        prev = states.prev_action                    # (B, 15)
+        keys = jax.random.split(key_scan, num_steps)
+        dummy_acts = jnp.zeros((1, 1, 1, 16, width), jnp.float32)
+
+        def pack_rows(v, rows):
+            """(B, rows<=pad) -> (nb, il, pad, width) lane-major."""
+            pad = jnp.zeros((batch, rows), jnp.float32).at[:, :v.shape[1]
+                                                           ].set(v)
+            return jnp.transpose(pad.reshape(nb, il, width, rows),
+                                 (0, 1, 3, 2))
+
+        parts = []
+        t0 = 0
+        seg_idx = 0
+        while t0 < num_steps:
+            seg_len = min(L, num_steps - t0)
+            blk = episode_slice_gather(
+                flat_amb, days * day_rows, day_rows)  # (B, day_rows, 7)
+            blk8 = jnp.concatenate([
+                blk, jnp.zeros(blk.shape[:2] + (8 - nchan,), blk.dtype)],
+                axis=-1)
+            wx = jnp.transpose(
+                blk8.reshape(nb, il, width, day_rows, 8), (0, 1, 3, 4, 2))
+            prev0 = pack_rows(jnp.asarray(prev, jnp.float32), 16)
+            if actions is None:
+                acts_k = dummy_acts
+                seed = jax.random.randint(
+                    jax.random.fold_in(key_scan, seg_idx), (), 0, 2 ** 31 - 1)
+            else:
+                a = jnp.asarray(actions[t0:t0 + seg_len], jnp.float32)
+                a16 = jnp.zeros((seg_len, batch, 16),
+                                jnp.float32).at[:, :, :15].set(a)
+                acts_k = jnp.transpose(
+                    a16.reshape(seg_len, nb, il, width, 16), (1, 2, 0, 4, 3))
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_cogen_segment(consts, prev0, wx, acts_k, seed,
+                                      seg_len, il, width,
+                                      use_rng=actions is None,
+                                      interpret=interpret)
+
+            def rows(lo, hi, out=out, seg_len=seg_len):
+                y = jnp.transpose(out[:, :, :, lo:hi, :], (2, 0, 1, 4, 3))
+                return y.reshape(seg_len, batch, hi - lo)
+
+            act_tm = rows(0, 15)
+            reward = rows(16, 17)[..., 0]
+            info = {
+                "fuel_costs": rows(17, 20),
+                "ramp_costs": rows(20, 24),
+                "dyn_cv_costs": rows(24, 28),
+                "non_delivery_cost": rows(28, 29)[..., 0],
+                "net_power": rows(29, 30)[..., 0],
+                "proc_steam": rows(30, 31)[..., 0],
+            }
+            # obs at t+1: forecast windows from the ambient block
+            amb_tm = jnp.swapaxes(blk, 0, 1)          # (day_rows, B, 7)
+            fore = jnp.stack([amb_tm[1 + k:1 + k + seg_len]
+                              for k in range(h + 1)], axis=2)
+            # (seg, B, h+1, 7)
+            t_idx = (jnp.arange(seg_len, dtype=jnp.float32) + 1.0) / L
+            obs = {"Time": jnp.broadcast_to(
+                t_idx[:, None, None], (seg_len, batch, 1)),
+                "Prev_Action": act_tm}
+            for i, name in enumerate(FORECAST_KEYS):
+                obs[name] = fore[..., i]
+            done = jnp.zeros((seg_len, batch), bool)
+            if seg_len == L:
+                done = done.at[-1].set(True)
+            ts = TimeStep(obs=obs, reward=reward, terminated=done,
+                          truncated=jnp.zeros((seg_len, batch), bool),
+                          info=info)
+
+            prev = act_tm[-1]
+            if seg_len == L:
+                _, key_env = jax.random.split(keys[t0 + seg_len - 1])
+                bkeys = jax.random.split(key_env, batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                states, ts_r = jax.vmap(self.reset, in_axes=(None, 0))(
+                    params, reset_keys)
+                days = states.day
+                prev = states.prev_action
+                ts = ts.replace(obs=jax.tree.map(
+                    lambda o, r: o.at[-1].set(r), ts.obs, ts_r.obs))
+            parts.append(ts)
+            t0 += seg_len
+            seg_idx += 1
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     def _zero_info(self, params: CogenParams) -> dict[str, jax.Array]:
         dtype = params.ambients.dtype
         z = jnp.zeros((), dtype)
