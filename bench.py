@@ -40,19 +40,12 @@ def bench_building(batch: int, steps: int, repeats: int = 3,
     policy = random_policy(env, params, batch)
 
     if fused:
-        # whole-episode Pallas kernel with on-core RNG policy (same action
-        # distribution; counter-based stream) — the engine's
-        # maximum-throughput simulation mode
-        @jax.jit
-        def run(key):
-            traj = env.fused_rollout(params, key, batch, steps)
-            return traj.reward.sum()
-    else:
-        @jax.jit
-        def run(key):
-            traj = batch_rollout(env, params, policy, None, key, batch,
-                                 steps)
-            return traj.reward.sum()
+        return bench_fused("building", batch, steps, repeats)
+
+    @jax.jit
+    def run(key):
+        traj = batch_rollout(env, params, policy, None, key, batch, steps)
+        return traj.reward.sum()
 
     key = jax.random.PRNGKey(0)
     run(key).block_until_ready()  # compile
@@ -62,7 +55,7 @@ def bench_building(batch: int, steps: int, repeats: int = 3,
         run(jax.random.PRNGKey(i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    result = {
+    return {
         "metric": "building_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
         "unit": "env-steps/s",
@@ -70,9 +63,6 @@ def bench_building(batch: int, steps: int, repeats: int = 3,
         "scan_steps": steps,
         "device": str(jax.devices()[0]),
     }
-    if fused:
-        result["mode"] = "fused_pallas_rollout"
-    return result
 
 
 def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
@@ -147,6 +137,9 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3
     from sustaingym_tpu import make
 
     env, params = make(env_name)
+    # label honestly: fused_rollout silently falls back to the XLA path for
+    # unsupported configs (off-TPU, batch not a tile multiple, ...)
+    fused_ok = (jax.devices()[0].platform == "tpu" and batch % 1024 == 0)
 
     @jax.jit
     def run(key):
@@ -168,7 +161,8 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3
         "batch": batch,
         "scan_steps": steps,
         "device": str(jax.devices()[0]),
-        "mode": "fused_pallas_rollout",
+        "mode": ("fused_pallas_rollout" if fused_ok
+                 else "xla_fallback"),
     }
 
 

@@ -73,7 +73,10 @@ def _populate_registry() -> None:
         if hasattr(mod, "make_env"):
             register(name, mod.make_env)
 
-    from .envs import multiagent as ma
+    try:
+        from .envs import multiagent as ma
+    except ImportError:
+        return
 
     def _ma_ev(**kw):
         return ma.MultiAgentEVChargingEnv(), ma.make_ma_ev_params(**kw)

@@ -416,10 +416,12 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
                                                     fused_building_segment)
 
         tile = il * width
+        on_tpu = jax.devices()[0].platform == "tpu"
         supported = (params.is_continuous_action and not params.data_driven
                      and params.reward_pnorm == 2 and params.n <= 8
                      and batch % tile == 0
-                     and params.A_d.dtype == jnp.float32)
+                     and params.A_d.dtype == jnp.float32
+                     and (on_tpu or interpret))
         if not supported:
             if actions is not None:
                 raise ValueError("fused_rollout with explicit actions "

@@ -382,8 +382,10 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
             noiseless = float(params.forecast_noise_std) == 0.0
         except (TypeError, jax.errors.TracerArrayConversionError):
             noiseless = False
+        on_tpu = jax.devices()[0].platform == "tpu"
         if (batch % tile != 0 or not noiseless
-                or params.ambients.dtype != jnp.float32):
+                or params.ambients.dtype != jnp.float32
+                or not (on_tpu or interpret)):
             if actions is not None:
                 raise ValueError("fused_rollout with explicit actions "
                                  "requires a supported config")

@@ -269,7 +269,9 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
         from ...ops.pallas.dc_rollout import fused_dc_segment
 
         tile = il * width
-        if batch % tile != 0 or params.moer.dtype != jnp.float32:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (batch % tile != 0 or params.moer.dtype != jnp.float32
+                or not (on_tpu or interpret)):
             if actions is not None:
                 raise ValueError("fused_rollout with explicit actions "
                                  "requires batch % (il*width) == 0")

@@ -110,6 +110,14 @@ class MultiAgentCogenEnv(FunctionalEnv):
     Obs: (4, obs_flat_dim) global; rewards: (4,) per-agent costs."""
 
     name = "cogen-multiagent"
+    # NOT agent_axis: the four agents have heterogeneous action dims
+    # (4/4/4/3 components of the flat 15-vector), so a shared per-agent
+    # policy does not apply; train per-agent policies through the
+    # PettingZoo adapter, or a centralized policy on the base CogenEnv.
+    ppo_incompatible = ("cogen-multiagent has heterogeneous per-agent "
+                        "action dims; use the PettingZoo adapter with "
+                        "per-agent policies, or train on the base "
+                        "'cogen' env")
 
     def __init__(self, base: CogenEnv | None = None):
         self.base = base or CogenEnv()

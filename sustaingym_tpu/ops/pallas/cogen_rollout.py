@@ -75,11 +75,9 @@ def _kernel(seed_ref, const_ref, prev_ref, wx_ref, act_ref, out_ref, *,
             a_bin = jnp.where(u < 0.5, 0.0, 1.0)
             a_bay = jnp.floor(u * 12.0) + 1.0
             row = jax.lax.broadcasted_iota(jnp.int32, (_ACT_ROWS, w), 0)
-            binm = jnp.zeros((), jnp.int32)
             is_bin = ((row == _BIN[0]) | (row == _BIN[1]) | (row == _BIN[2])
                       | (row == _BIN[3]) | (row == _BIN[4])
                       | (row == _BIN[5]))
-            del binm
             a = jnp.where(is_bin, a_bin, a)
             a = jnp.where(row == _BAYS, a_bay, a)
         else:

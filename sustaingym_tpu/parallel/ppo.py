@@ -119,6 +119,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                     act_transform=None, obs_fn=None):
     """Builds (init_state, train_step) where train_step is one fused
     rollout+update program: jit it with shardings from parallel.mesh."""
+    if getattr(env, "ppo_incompatible", None):
+        raise ValueError(env.ppo_incompatible)
     step_fn = autoreset_step(env)
     vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
     # multi-agent views (env.agent_axis): obs are already flat float arrays

@@ -6,8 +6,27 @@ onnxruntime absent), so building has true reference-parity tests
 golden trajectories: fixed-seed generic-path rollouts recorded on CPU.
 Any optimization that changes episode content (not just speed) trips these.
 
-Regenerate (only when a deliberate semantic change is made):
-    see the generation recipe in this file's test body — same seeds, CPU.
+Regenerate (only when a deliberate semantic change is made) — must run
+under the exact test environment (CPU backend, 8 virtual devices, x64 on):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'PY'
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from sustaingym_tpu import make
+    from sustaingym_tpu.core import batch_rollout, random_policy
+    STEPS = {"evcharging": 120, "cogen": 24, "electricitymarket": 12,
+             "datacenter": 48, "building": 24}
+    golden = {}
+    for name, steps in STEPS.items():
+        env, params = make(name)
+        traj = batch_rollout(env, params, random_policy(env, params, 4),
+                             None, jax.random.PRNGKey(123), 4, steps,
+                             fast=False)
+        golden[f"{name}_reward"] = np.asarray(traj.reward, np.float64)
+    np.savez("tests/golden_trajectories.npz", **golden)
+    PY
 """
 import os
 
