@@ -165,6 +165,31 @@ def test_batch_unroll_matches_generic(param_dict):
                 err_msg=k)
 
 
+def test_fused_rollout_multi_segment(param_dict):
+    """Fused rollout across TWO episode boundaries (RNG mode): the wrapper
+    must resample epochs per segment, splice autoreset obs, and keep shapes/
+    termination structure identical to batch_unroll's."""
+    env = BuildingEnv()
+    p = dict(param_dict)
+    p["episode_len"] = 10
+    params = make_params(p, dtype=jnp.float32)
+    batch, steps = 256, 25
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(2), (steps, batch, params.n), jnp.float32,
+        minval=-1.0, maxval=1.0) * jnp.asarray(params.ac_map)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    traj = env.fused_rollout(params, jax.random.PRNGKey(8), batch, steps,
+                             actions=actions, il=2, width=128,
+                             interpret=not on_tpu)
+    assert traj.reward.shape == (steps, batch)
+    assert np.all(np.isfinite(np.asarray(traj.obs)))
+    terms = np.asarray(traj.terminated)
+    assert terms[9].all() and terms[19].all()
+    assert not terms[[0, 5, 10, 15, 20, 24]].any()
+    # rewards keep flowing after resets (fresh epochs each episode)
+    assert np.asarray(traj.reward)[10:20].std() > 0
+
+
 def test_fused_rollout_matches_step_loop(param_dict):
     """The fused Pallas rollout (prescribed-actions mode, interpret on CPU)
     must reproduce the vmapped step loop on the same epochs/actions."""
