@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--env", default="building",
                         help="building|cogen|evcharging|electricitymarket|datacenter")
     parser.add_argument("--iterations", type=int, default=50)
-    parser.add_argument("--num-envs", type=int, default=256)
+    parser.add_argument("--num-envs", type=int, default=1024)
     parser.add_argument("--rollout-len", type=int, default=64)
     parser.add_argument("--hidden", type=int, default=256)
     parser.add_argument("--lr", type=float, default=3e-4)
