@@ -1,8 +1,10 @@
 from .mesh import data_sharding, make_mesh, model_sharding, replicated
 from .ppo import (PPOConfig, init_policy, make_train_step, policy_apply,
                   train)
+from .sac import SACConfig, make_sac_train_step, train_sac
 
 __all__ = [
     "make_mesh", "data_sharding", "model_sharding", "replicated",
     "PPOConfig", "init_policy", "policy_apply", "make_train_step", "train",
+    "SACConfig", "make_sac_train_step", "train_sac",
 ]

@@ -32,6 +32,10 @@ __all__ = ["PPOConfig", "init_policy", "policy_apply", "make_train_step",
 
 @dataclass
 class PPOConfig:
+    # "ppo" (clipped surrogate) or "a2c" (plain advantage actor-critic — the
+    # SB3 A2C option of the reference harness, train_stable_baselines.py:162;
+    # use epochs=1, minibatches=1 for textbook on-policy A2C)
+    algo: str = static_field(default="ppo")
     num_envs: int = static_field(default=256)
     rollout_len: int = static_field(default=64)
     hidden: int = static_field(default=256)
@@ -121,6 +125,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     rollout+update program: jit it with shardings from parallel.mesh."""
     if getattr(env, "ppo_incompatible", None):
         raise ValueError(env.ppo_incompatible)
+    if cfg.algo not in ("ppo", "a2c"):
+        raise ValueError(f"unknown on-policy algo {cfg.algo!r}")
     step_fn = autoreset_step(env)
     vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
     # multi-agent views (env.agent_axis): obs are already flat float arrays
@@ -196,12 +202,16 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     def loss_fn(policy, batch):
         mu, log_std, value = policy_apply(policy, batch["obs"])
         logp = _gauss_logp(mu, log_std, batch["u"])
-        ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
-        pg = -jnp.minimum(
-            ratio * adv,
-            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+        if cfg.algo == "a2c":
+            pg = -(logp * adv).mean()
+        else:
+            ratio = jnp.exp(logp - batch["logp"])
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+            ).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
         ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent

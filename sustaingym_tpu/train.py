@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--env", default="building",
                         help="building|cogen|evcharging|electricitymarket|datacenter")
+    parser.add_argument("--algo", default="ppo", choices=["ppo", "a2c", "sac"],
+                        help="ppo/a2c (on-policy, fused rollout+update) or "
+                             "sac (off-policy, on-device replay ring)")
     parser.add_argument("--iterations", type=int, default=50)
     parser.add_argument("--num-envs", type=int, default=1024)
     parser.add_argument("--rollout-len", type=int, default=64)
@@ -79,15 +82,24 @@ def main(argv: list[str] | None = None) -> None:
     import jax
 
     from sustaingym_tpu import make
-    from sustaingym_tpu.parallel import PPOConfig, make_mesh
-    from sustaingym_tpu.parallel.ppo import (_shard_carry, make_train_step)
+    from sustaingym_tpu.parallel import (PPOConfig, SACConfig, make_mesh,
+                                         make_sac_train_step, make_train_step)
+    from sustaingym_tpu.parallel.ppo import _shard_carry
+    from sustaingym_tpu.parallel.sac import shard_sac_carry
     from sustaingym_tpu.parallel.mesh import data_sharding, replicated
 
     env, env_params = make(args.env)
-    cfg = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
-                    hidden=args.hidden, lr=args.lr, gamma=args.gamma,
-                    epochs=args.epochs, minibatches=args.minibatches)
-    init_state, train_step = make_train_step(env, env_params, cfg)
+    if args.algo == "sac":
+        cfg = SACConfig(num_envs=args.num_envs,
+                        rollout_len=args.rollout_len,
+                        hidden=args.hidden, lr=args.lr, gamma=args.gamma)
+        init_state, train_step = make_sac_train_step(env, env_params, cfg)
+    else:
+        cfg = PPOConfig(algo=args.algo, num_envs=args.num_envs,
+                        rollout_len=args.rollout_len,
+                        hidden=args.hidden, lr=args.lr, gamma=args.gamma,
+                        epochs=args.epochs, minibatches=args.minibatches)
+        init_state, train_step = make_train_step(env, env_params, cfg)
 
     key = jax.random.PRNGKey(args.seed)
     carry = init_state(key)
@@ -98,8 +110,11 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.mesh:
         mesh = make_mesh(args.mesh, mp=args.mp)
-        carry = _shard_carry(carry, mesh, data_sharding(mesh),
-                             replicated(mesh))
+        if args.algo == "sac":
+            carry = shard_sac_carry(carry, mesh)
+        else:
+            carry = _shard_carry(carry, mesh, data_sharding(mesh),
+                                 replicated(mesh))
         print(f"mesh: {dict(mesh.shape)}")
 
     step = jax.jit(train_step, donate_argnums=0)
