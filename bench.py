@@ -27,8 +27,29 @@ REF_BASELINE_STEPS_PER_S = {
 }
 
 
+def _time_best(run, repeats: int, profile_dir: str | None = None) -> float:
+    """Best-of-N wall time of ``run(PRNGKey(i))``; optionally wraps the final
+    (warm) repeat in a ``jax.profiler`` trace (SURVEY.md §5 "tracing") —
+    inspect with tensorboard/xprof pointed at the directory."""
+    import jax
+
+    run(jax.random.PRNGKey(0)).block_until_ready()  # compile
+    times = []
+    for i in range(repeats):
+        tracing = profile_dir is not None and i == repeats - 1
+        if tracing:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+        if tracing:
+            jax.profiler.stop_trace()
+    return min(times)
+
+
 def bench_building(batch: int, steps: int, repeats: int = 3,
-                   fused: bool = False) -> dict:
+                   fused: bool = False,
+                   profile_dir: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -40,21 +61,14 @@ def bench_building(batch: int, steps: int, repeats: int = 3,
     policy = random_policy(env, params, batch)
 
     if fused:
-        return bench_fused("building", batch, steps, repeats)
+        return bench_fused("building", batch, steps, repeats, profile_dir)
 
     @jax.jit
     def run(key):
         traj = batch_rollout(env, params, policy, None, key, batch, steps)
         return traj.reward.sum()
 
-    key = jax.random.PRNGKey(0)
-    run(key).block_until_ready()  # compile
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(jax.random.PRNGKey(i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _time_best(run, repeats, profile_dir)
     return {
         "metric": "building_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
@@ -65,7 +79,8 @@ def bench_building(batch: int, steps: int, repeats: int = 3,
     }
 
 
-def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
+def bench_cogen(batch: int, steps: int, repeats: int = 3,
+                profile_dir: str | None = None) -> dict:
     import jax
 
     from sustaingym_tpu import make
@@ -79,14 +94,7 @@ def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
         traj = batch_rollout(env, params, policy, None, key, batch, steps)
         return traj.reward.sum()
 
-    key = jax.random.PRNGKey(0)
-    run(key).block_until_ready()
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(jax.random.PRNGKey(i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _time_best(run, repeats, profile_dir)
     return {
         "metric": "cogen_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
@@ -98,7 +106,7 @@ def bench_cogen(batch: int, steps: int, repeats: int = 3) -> dict:
 
 
 def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
-                  **make_kwargs) -> dict:
+                  profile_dir: str | None = None, **make_kwargs) -> dict:
     import jax
 
     from sustaingym_tpu import make
@@ -112,14 +120,7 @@ def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
         traj = batch_rollout(env, params, policy, None, key, batch, steps)
         return traj.reward.sum()
 
-    key = jax.random.PRNGKey(0)
-    run(key).block_until_ready()
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(jax.random.PRNGKey(i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _time_best(run, repeats, profile_dir)
     return {
         "metric": f"{env_name}_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
@@ -130,8 +131,8 @@ def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
     }
 
 
-def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3
-                ) -> dict:
+def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
+                profile_dir: str | None = None) -> dict:
     import jax
 
     from sustaingym_tpu import make
@@ -146,14 +147,7 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3
         traj = env.fused_rollout(params, key, batch, steps)
         return traj.reward.sum()
 
-    key = jax.random.PRNGKey(0)
-    run(key).block_until_ready()
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(jax.random.PRNGKey(i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _time_best(run, repeats, profile_dir)
     return {
         "metric": f"{env_name}_env_steps_per_s_per_chip",
         "value": round(batch * steps / best, 1),
@@ -205,6 +199,9 @@ def main() -> None:
                         help="scan length (default: the env's episode "
                              "length: 288, cogen 96, datacenter 672)")
     parser.add_argument("--measure-reference", action="store_true")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the final timed "
+                             "repeat to DIR")
     parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="building/cogen/datacenter: whole-episode Pallas "
@@ -221,26 +218,29 @@ def main() -> None:
         # the XLA path hits a compile pathology beyond 64k envs; the fused
         # kernel scales to HBM capacity
         batch = args.batch if args.fused else min(args.batch, 65536)
-        result = bench_building(batch, steps, fused=args.fused)
+        result = bench_building(batch, steps, fused=args.fused,
+                                profile_dir=args.profile)
     elif args.env == "cogen":
         if args.fused:
             result = bench_fused("cogen", min(args.batch, 262144),
-                                 min(steps, 96))
+                                 min(steps, 96), profile_dir=args.profile)
         else:
-            result = bench_cogen(min(args.batch, 65536), min(steps, 96))
+            result = bench_cogen(min(args.batch, 65536), min(steps, 96),
+                                 profile_dir=args.profile)
     elif args.env == "evcharging":
         result = bench_generic("evcharging", min(args.batch, 16384),
-                               min(steps, 288))
+                               min(steps, 288), profile_dir=args.profile)
     elif args.env == "electricitymarket":
         result = bench_generic("electricitymarket", min(args.batch, 4096),
-                               min(steps, 288))
+                               min(steps, 288), profile_dir=args.profile)
     elif args.env == "datacenter":
         if args.fused:
             result = bench_fused("datacenter", min(args.batch, 262144),
-                                 min(steps, 672))
+                                 min(steps, 672), profile_dir=args.profile)
         else:
             result = bench_generic("datacenter", min(args.batch, 16384),
-                                   min(steps, 672))
+                                   min(steps, 672),
+                                   profile_dir=args.profile)
     else:
         raise SystemExit(f"unknown bench env {args.env}")
 

@@ -224,9 +224,9 @@ def _pallas_hbm_slice_gather(table: jax.Array, starts: jax.Array,
         in_specs=[
             pl.BlockSpec((smem_chunk,), lambda i, j: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bp, nrows, _LANES), table.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((chunk,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -1,3 +1,5 @@
+from .distributed import (host_env_keys, host_fold, init_distributed,
+                          is_distributed, process_local_batch)
 from .mesh import data_sharding, make_mesh, model_sharding, replicated
 from .ppo import (PPOConfig, init_policy, make_train_step, policy_apply,
                   train)
@@ -7,4 +9,6 @@ __all__ = [
     "make_mesh", "data_sharding", "model_sharding", "replicated",
     "PPOConfig", "init_policy", "policy_apply", "make_train_step", "train",
     "SACConfig", "make_sac_train_step", "train_sac",
+    "init_distributed", "is_distributed", "host_fold", "host_env_keys",
+    "process_local_batch",
 ]

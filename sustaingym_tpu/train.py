@@ -77,13 +77,22 @@ def main(argv: list[str] | None = None) -> None:
                         help="shard over the first N devices (0 = single)")
     parser.add_argument("--mp", type=int, default=1,
                         help="tensor-parallel width within the mesh")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of iterations "
+                             "2-4 (post-compile) to <log-dir>/profile; view "
+                             "with tensorboard or xprof")
     args = parser.parse_args(argv)
 
     import jax
 
     from sustaingym_tpu import make
-    from sustaingym_tpu.parallel import (PPOConfig, SACConfig, make_mesh,
+    from sustaingym_tpu.parallel import (PPOConfig, SACConfig,
+                                         init_distributed, make_mesh,
                                          make_sac_train_step, make_train_step)
+
+    # joins the jax.distributed process group on multi-host pods (no-op on
+    # single-process runs); must precede any backend use
+    init_distributed()
     from sustaingym_tpu.parallel.ppo import _shard_carry
     from sustaingym_tpu.parallel.sac import shard_sac_carry
     from sustaingym_tpu.parallel.mesh import data_sharding, replicated
@@ -145,9 +154,17 @@ def main(argv: list[str] | None = None) -> None:
                   f"({metrics['env_steps_per_s']:.0f} steps/s)")
 
         pending = None
+        profile_span = (start_iter + 1, min(start_iter + 4,
+                                            start_iter + args.iterations))
         t_prev = time.perf_counter()
         for i in range(start_iter, start_iter + args.iterations):
+            if args.profile and i == profile_span[0]:
+                jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             carry, metrics = step(carry, jax.random.fold_in(key, 1000 + i))
+            if args.profile and i == profile_span[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace in {args.log_dir}/profile")
             if pending is not None:
                 t_now = time.perf_counter()
                 log(pending[0], pending[1], t_now - t_prev)
