@@ -37,10 +37,19 @@ def mpc_action(params: BuildingParams, x0: jax.Array, epoch: jax.Array,
 
     avg = jnp.sum(x0) / n
     meta = params.metabolism[epoch]
-    occ = calc_occupower(avg, meta)
-    exo = jnp.stack([occ, params.ground_temp[epoch],
-                     params.out_temp[epoch]])
     ghi = params.ghi[epoch]
+    if params.data_driven:
+        # identified-dynamics input layout (n+7 BD_d columns):
+        # [avg^2, avg, meta^2, meta, ground, out, u(n), ghi] — the reference
+        # MPCAgent_DataDriven holds avg/meta at their x0 values over the
+        # whole planning horizon (mpc_controller.py:191-205); mirrored here
+        exo = jnp.stack([avg * avg, avg, meta * meta, meta,
+                         params.ground_temp[epoch], params.out_temp[epoch]])
+    else:
+        # physics layout (n+4 columns): [occupower, ground, out, u(n), ghi]
+        occ = calc_occupower(avg, meta)
+        exo = jnp.stack([occ, params.ground_temp[epoch],
+                         params.out_temp[epoch]])
 
     def predict(x, u):
         y = jnp.concatenate([exo, u, ghi[None]])

@@ -102,22 +102,32 @@ COGEN_AGENT_ACTION_IDX = {
     "GT3": (8, 9, 10, 11),
     "ST": (12, 13, 14),
 }
+# padded per-agent action layout for the native SPMD learner: every agent
+# owns max(4) action slots; ST's 4th slot is padding (mask False). The
+# learner trains one policy PER agent (stacked params vmapped over the agent
+# axis), matching the reference's per-agent RLLib PolicySpec semantics
+# (/root/reference/examples/cogen/train_rllib.py:119-132).
+COGEN_PAD_DIM = 4
+_COGEN_PAD_MASK = np.zeros((len(COGEN_AGENTS), COGEN_PAD_DIM), dtype=bool)
+_COGEN_FLAT_IDX = np.zeros((len(COGEN_AGENTS), COGEN_PAD_DIM), dtype=np.int32)
+for _a, _agent in enumerate(COGEN_AGENTS):
+    for _j, _flat in enumerate(COGEN_AGENT_ACTION_IDX[_agent]):
+        _COGEN_PAD_MASK[_a, _j] = True
+        _COGEN_FLAT_IDX[_a, _j] = _flat
 
 
 class MultiAgentCogenEnv(FunctionalEnv):
-    """Agents GT1/GT2/GT3/ST. Actions: dict agent -> sub-vector (host edge)
-    or the assembled flat 15-vector split per COGEN_AGENT_ACTION_IDX.
+    """Agents GT1/GT2/GT3/ST. Actions: dict agent -> sub-vector (host edge),
+    the assembled flat 15-vector split per COGEN_AGENT_ACTION_IDX, or the
+    padded (4, 4) per-agent array consumed by the native learner.
     Obs: (4, obs_flat_dim) global; rewards: (4,) per-agent costs."""
 
     name = "cogen-multiagent"
-    # NOT agent_axis: the four agents have heterogeneous action dims
-    # (4/4/4/3 components of the flat 15-vector), so a shared per-agent
-    # policy does not apply; train per-agent policies through the
-    # PettingZoo adapter, or a centralized policy on the base CogenEnv.
-    ppo_incompatible = ("cogen-multiagent has heterogeneous per-agent "
-                        "action dims; use the PettingZoo adapter with "
-                        "per-agent policies, or train on the base "
-                        "'cogen' env")
+    agent_axis = True
+    # heterogeneous per-agent action dims (4/4/4/3): the native learner must
+    # stack per-agent policy params and mask the padded slot rather than
+    # share one policy across the agent axis
+    per_agent_policy = True
 
     def __init__(self, base: CogenEnv | None = None):
         self.base = base or CogenEnv()
@@ -144,7 +154,18 @@ class MultiAgentCogenEnv(FunctionalEnv):
             params, ts, jnp.zeros(len(COGEN_AGENTS), flat_dtype(params)))
 
     def step(self, params, state, action, key):
-        action = jnp.reshape(jnp.asarray(action), (len(ACTION_KEYS),))
+        action = jnp.asarray(action)
+        if action.shape == (len(COGEN_AGENTS), COGEN_PAD_DIM):
+            # padded per-agent layout from the native learner: scatter the
+            # valid entries back into the flat 15-vector (padding ignored);
+            # index arrays are static numpy so the gather/scatter compiles
+            # to fixed-shape ops
+            valid = np.nonzero(_COGEN_PAD_MASK.reshape(-1))[0]
+            dest = _COGEN_FLAT_IDX.reshape(-1)[valid]
+            flat = jnp.zeros(len(ACTION_KEYS), action.dtype)
+            action = flat.at[dest].set(action.reshape(-1)[valid])
+        else:
+            action = jnp.reshape(action, (len(ACTION_KEYS),))
         state, ts = self.base.step(params, state, action, key)
         info = ts.info
         nd_share = info["non_delivery_cost"] / len(COGEN_AGENTS)
@@ -164,6 +185,22 @@ class MultiAgentCogenEnv(FunctionalEnv):
         space = self.base.action_space(params)
         idx = list(COGEN_AGENT_ACTION_IDX[agent])
         return Box(space.low[idx], space.high[idx])
+
+    def padded_action_space(self, params) -> Box:
+        """(n_agents, COGEN_PAD_DIM) Box for the native per-agent learner;
+        padded slots get dummy [0, 1] bounds (masked out of the policy's
+        log-prob/entropy and ignored by :meth:`step`)."""
+        space = self.base.action_space(params)
+        low = np.zeros((len(COGEN_AGENTS), COGEN_PAD_DIM))
+        high = np.ones((len(COGEN_AGENTS), COGEN_PAD_DIM))
+        low[_COGEN_PAD_MASK] = space.low[_COGEN_FLAT_IDX[_COGEN_PAD_MASK]]
+        high[_COGEN_PAD_MASK] = space.high[_COGEN_FLAT_IDX[_COGEN_PAD_MASK]]
+        return Box(low, high)
+
+    def action_pad_mask(self) -> np.ndarray:
+        """(n_agents, COGEN_PAD_DIM) bool: True where the padded slot is a
+        real action component."""
+        return _COGEN_PAD_MASK.copy()
 
 
 def flat_dtype(params: CogenParams):

@@ -103,8 +103,11 @@ def host_env_keys(key: jax.Array, global_batch: int,
     """
     h = jax.process_index() if process_index is None else process_index
     n = jax.process_count() if process_count is None else process_count
-    assert global_batch % n == 0, (
-        f"global_batch={global_batch} not divisible by process_count={n}")
+    if global_batch % n != 0:
+        # not an assert: under ``python -O`` a silent pass here would hand
+        # out truncated/overlapping shards
+        raise ValueError(
+            f"global_batch={global_batch} not divisible by process_count={n}")
     local = global_batch // n
     return jax.random.split(key, global_batch)[h * local:(h + 1) * local]
 
@@ -112,6 +115,7 @@ def host_env_keys(key: jax.Array, global_batch: int,
 def process_local_batch(global_batch: int) -> int:
     """This host's share of a global env batch (must divide evenly)."""
     n = jax.process_count()
-    assert global_batch % n == 0, (
-        f"global_batch={global_batch} not divisible by process_count={n}")
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global_batch={global_batch} not divisible by process_count={n}")
     return global_batch // n

@@ -48,6 +48,11 @@ class PPOConfig:
     vf_coef: float = static_field(default=0.5)
     ent_coef: float = static_field(default=0.0)
     max_grad_norm: float = static_field(default=0.5)
+    # multiplies rewards before GAE/returns (reported metrics stay unscaled).
+    # Envs with |reward| >> 1 (cogen's 1e4-1e5 penalty scale) need ~1/|r| here
+    # or the value-loss gradient drowns the policy gradient under the shared
+    # global-norm clip.
+    reward_scale: float = static_field(default=1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +89,35 @@ def policy_apply(params: dict[str, Any], obs: jax.Array
     return mu, params["log_std"], value
 
 
-def _gauss_logp(mu, log_std, a):
+def _gauss_logp(mu, log_std, a, mask=None):
+    """Diagonal-Gaussian log-prob; ``mask`` (broadcastable over the last
+    axis) zeroes padded action components so they contribute neither density
+    nor gradient (heterogeneous multi-agent padding)."""
     var = jnp.exp(2 * log_std)
-    return jnp.sum(-0.5 * ((a - mu) ** 2 / var + 2 * log_std
-                           + jnp.log(2 * jnp.pi)), axis=-1)
+    terms = -0.5 * ((a - mu) ** 2 / var + 2 * log_std
+                    + jnp.log(2 * jnp.pi))
+    if mask is not None:
+        terms = terms * mask
+    return jnp.sum(terms, axis=-1)
+
+
+def per_agent_apply(params: dict[str, Any], obs: jax.Array
+                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Stacked per-agent actor-critic: every leaf of ``params`` carries a
+    leading (n_agents,) axis (one policy per agent, the SPMD equivalent of
+    the reference's per-agent RLLib PolicySpec,
+    /root/reference/examples/cogen/train_rllib.py:119-132) and ``obs`` is
+    (..., n_agents, obs_dim). One batched einsum per layer keeps the agent
+    axis on the MXU instead of a Python loop over policies."""
+    w1, b1 = params["trunk1"]["w"], params["trunk1"]["b"]
+    h = jnp.tanh(jnp.einsum("...ad,adh->...ah", obs, w1) + b1)
+    h = jnp.tanh(jnp.einsum("...ah,ahk->...ak", h,
+                            params["trunk2"]["w"]) + params["trunk2"]["b"])
+    mu = jnp.einsum("...ah,ahm->...am", h,
+                    params["mu"]["w"]) + params["mu"]["b"]
+    value = (jnp.einsum("...ah,ahv->...av", h, params["value"]["w"])
+             + params["value"]["b"])[..., 0]
+    return mu, params["log_std"], value
 
 
 def flat_obs_fn(env: FunctionalEnv, params) -> Callable[[Any], jax.Array]:
@@ -102,10 +132,11 @@ def flat_obs_fn(env: FunctionalEnv, params) -> Callable[[Any], jax.Array]:
     return fn
 
 
-def default_act_transform(env: FunctionalEnv, params):
+def default_act_transform(env: FunctionalEnv, params, space=None):
     """Maps the policy's unbounded output to the env's Box action space via
-    tanh squashing."""
-    space = env.action_space(params)
+    tanh squashing. ``space`` overrides the env's action space (used for the
+    padded per-agent layout of heterogeneous multi-agent envs)."""
+    space = space if space is not None else env.action_space(params)
     low = jnp.asarray(space.low, jnp.float32)
     high = jnp.asarray(space.high, jnp.float32)
 
@@ -135,28 +166,46 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     # RLLib policy per agent, examples/cogen/train_rllib.py:119-132; shared
     # parameters are the batched equivalent)
     ma = bool(getattr(env, "agent_axis", False))
+    # heterogeneous multi-agent (per-agent action dims differ): stack one
+    # policy per agent and train them all inside the same SPMD program,
+    # acting through the env's padded action layout
+    pap = bool(getattr(env, "per_agent_policy", False))
     if ma and obs_fn is None:
         obs_fn = lambda o: jnp.asarray(o, jnp.float32)  # noqa: E731
     obs_fn = obs_fn or flat_obs_fn(env, env_params)
-    act_transform = act_transform or default_act_transform(env, env_params)
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr))
 
-    space = env.action_space(env_params)
-    if not space.shape:
-        act_dim = 1
-    elif ma:
-        act_dim = int(space.shape[-1])
+    if pap:
+        space = env.padded_action_space(env_params)
+        n_agents, act_dim = (int(s) for s in space.shape)
+        mask = jnp.asarray(env.action_pad_mask(), jnp.float32)
+        apply_fn = per_agent_apply
+        act_transform = act_transform or default_act_transform(
+            env, env_params, space=space)
     else:
-        act_dim = int(np.prod(space.shape))
+        space = env.action_space(env_params)
+        n_agents, mask, apply_fn = 0, None, policy_apply
+        act_transform = act_transform or default_act_transform(env, env_params)
+        if not space.shape:
+            act_dim = 1
+        elif ma:
+            act_dim = int(space.shape[-1])
+        else:
+            act_dim = int(np.prod(space.shape))
 
     def init_state(key):
         kp, kr = jax.random.split(key)
         keys = jax.random.split(kr, cfg.num_envs)
         states, ts = jax.vmap(env.reset, in_axes=(None, 0))(env_params, keys)
         obs = jax.vmap(obs_fn)(ts.obs)
-        policy = init_policy(kp, obs.shape[-1], act_dim, cfg.hidden)
+        if pap:
+            policy = jax.vmap(
+                lambda k: init_policy(k, obs.shape[-1], act_dim, cfg.hidden)
+            )(jax.random.split(kp, n_agents))
+        else:
+            policy = init_policy(kp, obs.shape[-1], act_dim, cfg.hidden)
         return {"policy": policy, "opt": opt.init(policy),
                 "env_states": states, "obs": obs}
 
@@ -164,10 +213,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         def body(carry, key_t):
             states, obs = carry
             k_act, k_env = jax.random.split(key_t)
-            mu, log_std, value = policy_apply(policy, obs)
+            mu, log_std, value = apply_fn(policy, obs)
             u = mu + jnp.exp(log_std) * jax.random.normal(
                 k_act, mu.shape, mu.dtype)
-            logp = _gauss_logp(mu, log_std, u)
+            logp = _gauss_logp(mu, log_std, u, mask)
             action = act_transform(u)
             env_keys = jax.random.split(k_env, cfg.num_envs)
             states, ts = vstep(env_params, states, action, env_keys)
@@ -182,7 +231,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         keys = jax.random.split(key, cfg.rollout_len)
         (env_states, obs), traj = jax.lax.scan(
             body, (env_states, obs), keys)
-        _, _, last_value = policy_apply(policy, obs)
+        _, _, last_value = apply_fn(policy, obs)
         return env_states, obs, traj, last_value
 
     def gae(traj, last_value):
@@ -194,14 +243,17 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             adv = delta + cfg.gamma * cfg.lam * nonterm * adv_next
             return (adv, value), adv
 
+        reward = traj["reward"]
+        if cfg.reward_scale != 1.0:
+            reward = reward * cfg.reward_scale
         (_, _), advs = jax.lax.scan(
             body, (jnp.zeros_like(last_value), last_value),
-            (traj["value"], traj["reward"], traj["done"]), reverse=True)
+            (traj["value"], reward, traj["done"]), reverse=True)
         return advs, advs + traj["value"]
 
     def loss_fn(policy, batch):
-        mu, log_std, value = policy_apply(policy, batch["obs"])
-        logp = _gauss_logp(mu, log_std, batch["u"])
+        mu, log_std, value = apply_fn(policy, batch["obs"])
+        logp = _gauss_logp(mu, log_std, batch["u"], mask)
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         if cfg.algo == "a2c":
@@ -213,7 +265,9 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
             ).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
-        ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        ent_terms = log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)
+        ent = (jnp.sum(mask * ent_terms) / n_agents if pap
+               else jnp.sum(ent_terms))
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
         return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent}
 
@@ -224,17 +278,41 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             policy, carry["env_states"], carry["obs"], k_roll)
         advs, rets = gae(traj, last_value)
 
-        # total sample count: time x envs (x agents for agent-axis views)
-        n = int(np.prod(traj["logp"].shape))
-        flat = {
-            "obs": traj["obs"].reshape(n, -1),
-            "u": traj["u"].reshape(n, -1),
-            "logp": traj["logp"].reshape(n),
-            "adv": advs.reshape(n),
-            "ret": rets.reshape(n),
-        }
+        if pap:
+            # per-agent policies: a sample is one (time, env) pair carrying
+            # the full agent axis, so each minibatch row still routes every
+            # agent's slice to its own stacked parameters
+            n = int(np.prod(traj["logp"].shape[:2]))
+            flat = {
+                "obs": traj["obs"].reshape(n, n_agents, -1),
+                "u": traj["u"].reshape(n, n_agents, -1),
+                "logp": traj["logp"].reshape(n, n_agents),
+                "adv": advs.reshape(n, n_agents),
+                "ret": rets.reshape(n, n_agents),
+            }
+        else:
+            # total sample count: time x envs (x agents for shared-policy
+            # agent-axis views)
+            n = int(np.prod(traj["logp"].shape))
+            flat = {
+                "obs": traj["obs"].reshape(n, -1),
+                "u": traj["u"].reshape(n, -1),
+                "logp": traj["logp"].reshape(n),
+                "adv": advs.reshape(n),
+                "ret": rets.reshape(n),
+            }
 
         mb = n // cfg.minibatches
+        dropped = n - mb * cfg.minibatches
+        if dropped:
+            # n is static at trace time, so this warns once per compile (the
+            # SURVEY "no silent caps" rule): with agent-axis envs n is rarely
+            # a multiple of minibatches and the remainder never trains
+            import warnings
+            warnings.warn(
+                f"PPO minibatching drops {dropped}/{n} samples per epoch "
+                f"(rollout_len*num_envs[*n_agents]={n} not divisible by "
+                f"minibatches={cfg.minibatches})", stacklevel=2)
 
         def epoch(carry, key_e):
             policy, opt_state = carry
@@ -319,7 +397,9 @@ def _shard_carry(carry, mesh, ds, rep):
         if "trunk1/w" in name or "trunk1/b" in name:
             return jax.device_put(x, model_sharding(mesh, x.ndim - 1))
         if "trunk2/w" in name:
-            return jax.device_put(x, model_sharding(mesh, 0))
+            # row-parallel: shard the input-hidden dim — second-to-last axis,
+            # so stacked per-agent params (A, H, H) shard H, not the agent axis
+            return jax.device_put(x, model_sharding(mesh, x.ndim - 2))
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map_with_path(place, carry)

@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--gamma", type=float, default=0.99)
     parser.add_argument("--epochs", type=int, default=4)
     parser.add_argument("--minibatches", type=int, default=8)
+    parser.add_argument("--reward-scale", type=float, default=None,
+                        help="reward multiplier before GAE (default: 1e-4 "
+                             "for the 1e4-penalty-scale cogen envs, else 1)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-dir", default="runs/default")
     parser.add_argument("--save-every", type=int, default=10)
@@ -104,10 +107,14 @@ def main(argv: list[str] | None = None) -> None:
                         hidden=args.hidden, lr=args.lr, gamma=args.gamma)
         init_state, train_step = make_sac_train_step(env, env_params, cfg)
     else:
+        reward_scale = args.reward_scale
+        if reward_scale is None:
+            reward_scale = 1e-4 if args.env.startswith("cogen") else 1.0
         cfg = PPOConfig(algo=args.algo, num_envs=args.num_envs,
                         rollout_len=args.rollout_len,
                         hidden=args.hidden, lr=args.lr, gamma=args.gamma,
-                        epochs=args.epochs, minibatches=args.minibatches)
+                        epochs=args.epochs, minibatches=args.minibatches,
+                        reward_scale=reward_scale)
         init_state, train_step = make_train_step(env, env_params, cfg)
 
     key = jax.random.PRNGKey(args.seed)
@@ -154,14 +161,20 @@ def main(argv: list[str] | None = None) -> None:
                   f"({metrics['env_steps_per_s']:.0f} steps/s)")
 
         pending = None
-        profile_span = (start_iter + 1, min(start_iter + 4,
-                                            start_iter + args.iterations))
+        # trace iterations 2-4 (post-compile); the stop index is clamped into
+        # the loop's actual range [start_iter, start_iter + iterations - 1]
+        # so the trace always closes before process exit
+        profile_span = (start_iter + 1,
+                        min(start_iter + 3, start_iter + args.iterations - 1))
+        profiling = args.profile and profile_span[0] <= profile_span[1]
+        if args.profile and not profiling:
+            print("profiler: skipped (needs --iterations >= 2)")
         t_prev = time.perf_counter()
         for i in range(start_iter, start_iter + args.iterations):
-            if args.profile and i == profile_span[0]:
+            if profiling and i == profile_span[0]:
                 jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
             carry, metrics = step(carry, jax.random.fold_in(key, 1000 + i))
-            if args.profile and i == profile_span[1]:
+            if profiling and i == profile_span[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 print(f"profiler trace in {args.log_dir}/profile")

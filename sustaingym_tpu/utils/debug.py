@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import checkify
 
 from ..core.env import FunctionalEnv, TimeStep
-from ..core.spaces import Box
+from ..core.spaces import Box, DictSpace
 
 __all__ = ["check_timestep", "checked_reset", "checked_step",
            "validate_batch_rollout"]
@@ -62,14 +62,44 @@ def check_timestep(ts: TimeStep, obs_space: Any = None) -> None:
         flag = jnp.asarray(flag)
         checkify.check(jnp.all((flag == 0) | (flag == 1)),
                        "terminated/truncated not boolean")
-    if isinstance(obs_space, Box) and isinstance(ts.obs, jax.Array):
-        lo = jnp.asarray(obs_space.low, ts.obs.dtype)
-        hi = jnp.asarray(obs_space.high, ts.obs.dtype)
+    if obs_space is not None:
+        _check_bounds(ts.obs, obs_space, "obs")
+
+
+def _check_bounds(obs: Any, space: Any, label: str) -> None:
+    """Recursive bounds check: Box leaves against their declared ranges,
+    DictSpace entries walked by key. Structured spaces the walk cannot
+    interpret raise rather than silently skipping (a requested bounds check
+    must never be a no-op)."""
+    if isinstance(space, DictSpace):
+        for name, sub in space.spaces.items():
+            _check_bounds(obs[name], sub, f"{label}[{name}]")
+        return
+    if isinstance(space, Box):
+        x = jnp.asarray(obs)
+        lo = jnp.asarray(space.low, x.dtype)
+        hi = jnp.asarray(space.high, x.dtype)
         # one part in 1e-5 of slack for float32 rounding at the bounds
         slack = 1e-5 * (1.0 + jnp.abs(lo) + jnp.abs(hi))
         checkify.check(
-            jnp.all((ts.obs >= lo - slack) & (ts.obs <= hi + slack)),
-            "obs outside declared observation-space bounds")
+            jnp.all((x >= lo - slack) & (x <= hi + slack)),
+            f"{label} outside declared observation-space bounds")
+        return
+    if hasattr(space, "nvec"):        # MultiDiscrete
+        x = jnp.asarray(obs)
+        checkify.check(
+            jnp.all((x >= 0) & (x < jnp.asarray(space.nvec, x.dtype))),
+            f"{label} outside MultiDiscrete range")
+        return
+    if hasattr(space, "n"):           # Discrete
+        x = jnp.asarray(obs)
+        checkify.check(
+            jnp.all((x >= space.start) & (x < space.start + space.n)),
+            f"{label} outside Discrete range")
+        return
+    raise TypeError(
+        f"check_bounds requested but space type {type(space).__name__} "
+        f"for {label} is unsupported")
 
 
 def checked_reset(env: FunctionalEnv, check_bounds: bool = False

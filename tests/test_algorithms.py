@@ -87,6 +87,44 @@ def test_building_mpc_beats_zero_action():
     assert mpc_ret > zero_ret, (mpc_ret, zero_ret)
 
 
+def test_building_mpc_data_driven_beats_zero_action():
+    """MPC planning on IDENTIFIED (data_driven) dynamics — the counterpart of
+    the reference's MPCAgent_DataDriven (/root/reference/sustaingym/
+    algorithms/building/mpc_controller.py:122-224), whose predictor input is
+    the n+7 layout [avg^2, avg, meta^2, meta, ground, out, u(n), ghi]."""
+    from sustaingym_tpu import make
+    from sustaingym_tpu.algorithms.building import mpc_action
+    from sustaingym_tpu.envs.building import fit_data_driven
+
+    env, params = make("building")
+    # identify dynamics from a physics-model trajectory
+    state, _ = env.reset_at_epoch(params, 1000)
+    states, actions = [np.asarray(state.x)], []
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        a = rng.uniform(-1, 1, params.n).astype(np.float32)
+        state, _ = env.step(params, state, a, jax.random.PRNGKey(0))
+        states.append(np.asarray(state.x))
+        actions.append(a * params.max_power)
+    dd = fit_data_driven(params, np.asarray(states), np.asarray(actions),
+                         start_epoch=1000)
+    assert dd.data_driven and dd.BD_d.shape == (params.n, params.n + 7)
+
+    def rollout(policy_fn):
+        s, _ = env.reset_at_epoch(dd, 2000)
+        total = 0.0
+        for _ in range(40):
+            a = policy_fn(s)
+            s, ts = env.step(dd, s, a, jax.random.PRNGKey(0))
+            total += float(ts.reward)
+        return total
+
+    zero_ret = rollout(lambda s: jnp.zeros(params.n, jnp.float32))
+    plan = jax.jit(lambda x, e: mpc_action(dd, x, e, iters=200))
+    mpc_ret = rollout(lambda s: plan(s.x, s.epoch))
+    assert mpc_ret > zero_ret, (mpc_ret, zero_ret)
+
+
 def test_batch_run_matches_seed_semantics():
     from sustaingym_tpu import make
     from sustaingym_tpu.algorithms.base import batch_run

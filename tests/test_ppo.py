@@ -150,3 +150,93 @@ def test_ppo_multiagent_ev_sharded_mesh():
     carry, metrics = jax.jit(train_step, donate_argnums=0)(
         carry, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["pg_loss"]))
+
+
+def test_ppo_multiagent_cogen_per_agent_policies():
+    """Heterogeneous multi-agent cogen trains NATIVELY: one policy per agent
+    (stacked params vmapped over the agent axis, ST's padded 4th action slot
+    masked), matching the reference's per-agent RLLib PolicySpec semantics
+    (/root/reference/examples/cogen/train_rllib.py:119-132)."""
+    import sustaingym_tpu as sg
+    from sustaingym_tpu.envs.multiagent import COGEN_AGENTS, COGEN_PAD_DIM
+
+    env, params = sg.make("cogen-multiagent")
+    cfg = PPOConfig(num_envs=8, rollout_len=6, hidden=32, epochs=1,
+                    minibatches=2)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    n_agents = len(COGEN_AGENTS)
+    # stacked per-agent parameters, padded per-agent actions
+    assert carry["policy"]["trunk1"]["w"].shape[0] == n_agents
+    assert carry["policy"]["mu"]["w"].shape[-1] == COGEN_PAD_DIM
+    assert carry["obs"].shape[1] == n_agents
+
+    before = np.asarray(carry["policy"]["mu"]["w"]).copy()
+    carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
+    after = np.asarray(carry["policy"]["mu"]["w"])
+    # every agent's own policy received an update
+    for a in range(n_agents):
+        assert not np.allclose(before[a], after[a]), f"agent {a} not trained"
+    # ST's padded (masked) action slot contributes no density => no gradient
+    assert float(carry["policy"]["log_std"][3, 3]) == -0.5
+    assert float(carry["policy"]["log_std"][0, 0]) != -0.5
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_cogen_padded_action_equals_flat_action():
+    """step() with the learner's padded (4, 4) action equals step() with the
+    equivalent flat 15-vector."""
+    import sustaingym_tpu as sg
+    from sustaingym_tpu.envs.multiagent import (COGEN_AGENT_ACTION_IDX,
+                                                COGEN_AGENTS, COGEN_PAD_DIM)
+
+    env, params = sg.make("cogen-multiagent")
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    flat = env.base.sample_action(params, jax.random.PRNGKey(1))
+    padded = np.zeros((len(COGEN_AGENTS), COGEN_PAD_DIM), np.float32)
+    for a, agent in enumerate(COGEN_AGENTS):
+        for j, k in enumerate(COGEN_AGENT_ACTION_IDX[agent]):
+            padded[a, j] = float(flat[k])
+    padded[3, 3] = 123.0  # padding: must be ignored
+    _, ts_flat = env.step(params, state, flat, jax.random.PRNGKey(2))
+    _, ts_pad = env.step(params, state, jnp.asarray(padded),
+                         jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(ts_flat.reward),
+                               np.asarray(ts_pad.reward), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts_flat.obs),
+                               np.asarray(ts_pad.obs), rtol=1e-6)
+
+
+def test_ppo_multiagent_cogen_learns():
+    """Learning-improvement on cogen-multiagent: per-agent policies reduce
+    the (heavily penalized) dispatch cost within a few iterations."""
+    import sustaingym_tpu as sg
+    from sustaingym_tpu.parallel import train
+
+    env, params = sg.make("cogen-multiagent")
+    cfg = PPOConfig(num_envs=32, rollout_len=16, hidden=32, epochs=2,
+                    minibatches=4, lr=1e-3, gamma=0.5, reward_scale=1e-4)
+    carry, history = train(env, params, cfg, jax.random.PRNGKey(0),
+                           num_iterations=20, verbose=False)
+    first = np.mean([h["mean_reward"] for h in history[:3]])
+    last = np.mean([h["mean_reward"] for h in history[-3:]])
+    # the dispatch cost collapses by an order of magnitude (-60k -> -5k
+    # band); assert a decisive improvement, not just noise
+    assert last > first + 10_000, (first, last)
+
+
+def test_ppo_multiagent_cogen_sharded_mesh():
+    """Per-agent-policy PPO under the (dp, mp) mesh: stacked params shard
+    their hidden dims over mp (agent axis replicated), env batch over dp."""
+    import sustaingym_tpu as sg
+
+    env, params = sg.make("cogen-multiagent")
+    cfg = PPOConfig(num_envs=16, rollout_len=4, hidden=32, epochs=1,
+                    minibatches=2)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, mp=2)
+    carry = _shard_carry(carry, mesh, data_sharding(mesh), replicated(mesh))
+    carry, metrics = jax.jit(train_step, donate_argnums=0)(
+        carry, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["pg_loss"]))
