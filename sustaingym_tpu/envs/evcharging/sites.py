@@ -18,6 +18,31 @@ in this environment, so the sites here are a RECONSTRUCTION:
   acnportal when it is available, writing the same JSON schema consumed
   here — swap the file in and every downstream kernel picks it up.
 
+Per-constant provenance (PUBLISHED = stated in the ACN-Sim/ACN-Data papers,
+Lee et al., e-Energy'19, or directly implied by hardware specs;
+RECONSTRUCTED = this module's guess, replaceable via the extracted JSON):
+
+| Constant | Status |
+|---|---|
+| 3-phase 208Y/120 V secondary / 480 V delta primary, 30/-90/150 deg line
+  pairs, turns ratio 120/277 | PUBLISHED (ACN-Sim paper, Fig. 2 network) |
+| Caltech 150 kVA transformer | PUBLISHED (ACN-Sim paper site description) |
+| Caltech CC pod 80 A / AV pod 160 A feeder limits | RECONSTRUCTED (pod
+  existence and EVSE membership are published; the amp limits are inferred
+  from 8x32 A derated feeders) |
+| JPL 200 kVA transformer | RECONSTRUCTED (JPL's 52-EVSE site is larger
+  than Caltech's garage; no published rating found) |
+| JPL per-bank feeder limit ceil(n_bank * 32 * 0.6) | RECONSTRUCTED
+  (0.6 oversubscription chosen so the site is meaningfully constrained,
+  matching the qualitative behavior of the reference's congested network) |
+| EVSE family pilot sets (AV {0,8,16,24,32}, CC {0} U {6..32}) | PUBLISHED
+  (reference env.py:346-378 hard-codes them) |
+| Station id lists | EXACT (extracted from the packaged ACN-Data CSVs) |
+
+``tests/test_evcharging.py::test_magnitude_sensitivity_*`` quantifies how
+each reward term responds to magnitude error, so the blast radius of the
+RECONSTRUCTED rows is pinned numerically.
+
 Two EVSE families, as in the reference (env.py:346-353):
 AeroVironment (AV): pilots {0, 8, 16, 24, 32} (min pilot 8);
 ClipperCreek (CC): pilots {0} U {6..32} (min pilot 6).
@@ -142,10 +167,13 @@ def jpl_site() -> SiteSpec:
                     np.asarray(mags), tuple(names), min_pilots)
 
 
-def load_site(site: str) -> SiteSpec:
+def load_site(site: str, json_path: str | None = None) -> SiteSpec:
     """Returns a site spec, preferring an extracted-constants JSON
-    (tools/extract_acn_site.py output) over the built-in reconstruction."""
-    json_path = os.path.join(os.path.dirname(__file__), f"{site}_acn.json")
+    (tools/extract_acn_site.py output) over the built-in reconstruction.
+    ``json_path`` overrides the default package-dir location (tests)."""
+    if json_path is None:
+        json_path = os.path.join(os.path.dirname(__file__),
+                                 f"{site}_acn.json")
     if os.path.exists(json_path):
         with open(json_path) as f:
             d = json.load(f)

@@ -383,23 +383,34 @@ def train(env: FunctionalEnv, env_params, cfg: PPOConfig, key: jax.Array,
     return carry, history
 
 
-def _shard_carry(carry, mesh, ds, rep):
+def carry_shardings(carry_like, mesh, ds, rep):
+    """Sharding pytree for a PPO carry: env batch over ``dp``, Megatron-style
+    MLP tensor parallelism over ``mp``. ``carry_like`` may be concrete arrays
+    or ``jax.eval_shape`` structs — only shapes/paths are read, so the result
+    can serve as ``out_shardings`` for a jitted ``init_state`` (the
+    multi-process path, where host-side device_put of the global carry is
+    not possible)."""
     from .mesh import model_sharding
 
     def place(path, x):
         name = "/".join(str(p.key) if hasattr(p, "key") else str(p)
                         for p in path)
         if name.startswith("env_states") or name.startswith("obs"):
-            return jax.device_put(x, ds)
+            return ds
         # Megatron-style MLP TP: trunk1 column-parallel (out-dim + bias
         # sharded over mp), trunk2 row-parallel (in-dim sharded; XLA inserts
         # the all-reduce after the trunk2 matmul)
         if "trunk1/w" in name or "trunk1/b" in name:
-            return jax.device_put(x, model_sharding(mesh, x.ndim - 1))
+            return model_sharding(mesh, x.ndim - 1)
         if "trunk2/w" in name:
             # row-parallel: shard the input-hidden dim — second-to-last axis,
             # so stacked per-agent params (A, H, H) shard H, not the agent axis
-            return jax.device_put(x, model_sharding(mesh, x.ndim - 2))
-        return jax.device_put(x, rep)
+            return model_sharding(mesh, x.ndim - 2)
+        return rep
 
-    return jax.tree_util.tree_map_with_path(place, carry)
+    return jax.tree_util.tree_map_with_path(place, carry_like)
+
+
+def _shard_carry(carry, mesh, ds, rep):
+    return jax.tree.map(jax.device_put, carry,
+                        carry_shardings(carry, mesh, ds, rep))

@@ -3,6 +3,11 @@
 (SURVEY.md §7 hard part 5)."""
 from __future__ import annotations
 
+import json
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,6 +126,58 @@ def test_host_env_keys_partition_matches_single_host():
 
 
 def test_host_env_keys_divisibility_guard():
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: must survive `python -O`
+    with pytest.raises(ValueError):
         host_env_keys(jax.random.PRNGKey(0), 10, process_index=0,
                       process_count=4)
+
+
+# ---------------------------------------------------------------------------
+# True multi-PROCESS jax.distributed run (SURVEY §4: "multi-host tests
+# runnable on CPU via jax.distributed")
+# ---------------------------------------------------------------------------
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "_distributed_worker.py")
+
+
+def _run_worker(rank: int, nprocs: int, port: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    # clean slate: the pytest process carries an 8-virtual-device XLA_FLAGS
+    # that must not leak into the workers (each worker sizes its own devices)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen(
+        [sys.executable, _WORKER, "--rank", str(rank),
+         "--nprocs", str(nprocs), "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+
+
+def _metrics_from(proc: subprocess.Popen, timeout: float = 280.0) -> dict:
+    out, _ = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, out
+    for line in out.splitlines():
+        if line.startswith("METRICS "):
+            return json.loads(line[len("METRICS "):])
+    raise AssertionError(f"no METRICS line in worker output:\n{out}")
+
+
+def test_multiprocess_jax_distributed_matches_single_process():
+    """Spawns a REAL 2-process jax.distributed group (explicit coordinator,
+    1 CPU device per process), runs 3 fused PPO train steps on the global
+    2-device mesh, and asserts the metrics equal a single-process run of the
+    same global batch — the seed contract (distributed.py:94-109) and the
+    SPMD program are process-count-invariant."""
+    port = 29000 + os.getpid() % 1000
+    procs = [_run_worker(r, 2, port) for r in range(2)]
+    multi = [_metrics_from(p) for p in procs]
+    assert all(m.pop("process_count") == 2 for m in multi)
+    # both processes report the same (psum-replicated) metrics
+    assert multi[0] == multi[1]
+
+    single_proc = _run_worker(0, 1, port)
+    single = _metrics_from(single_proc)
+    assert single.pop("process_count") == 1
+    for k in single:
+        np.testing.assert_allclose(multi[0][k], single[k], rtol=1e-6,
+                                   err_msg=k)

@@ -280,3 +280,142 @@ def test_gmm_trace_generator():
     state, ts = env.step(params, state, jnp.ones(params.n_stations),
                          jax.random.PRNGKey(0))
     assert np.isfinite(float(ts.reward))
+
+
+# ---------------------------------------------------------------------------
+# Network-constant fidelity (SURVEY §7 hard part 1; sites.py provenance table)
+# ---------------------------------------------------------------------------
+
+def _scaled_magnitude_params(scale: float, project: bool):
+    """Params with every constraint magnitude scaled by ``scale`` (the
+    projection operator is re-factorized to match)."""
+    from sustaingym_tpu.envs.evcharging.env import ACTION_SCALE_FACTOR
+    from sustaingym_tpu.envs.evcharging.sites import load_site
+
+    env, params = evcharging.make_env(site="caltech",
+                                      date_period="Summer 2021",
+                                      project_action=project)
+    spec = load_site("caltech")
+    mags = spec.magnitudes * scale
+    proj = qp.make_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, mags,
+        action_scale=ACTION_SCALE_FACTOR, iters=30)
+    return env, params.replace(
+        magnitudes=jnp.asarray(mags, params.magnitudes.dtype), proj=proj)
+
+
+def _greedy_episode_terms(env, params, steps: int = 288):
+    day = int(np.argmax(np.asarray(params.ev_mask).sum(axis=1)))
+    state, _ = env.reset_at_day(params, day)
+    a = jnp.ones(params.n_stations)
+
+    def body(s, _):
+        s, ts = env.step(params, s, a, jax.random.PRNGKey(0))
+        return s, (ts.info["profit"], ts.info["excess_charge"])
+
+    _, (profit, excess) = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=steps))(state)
+    return float(profit.sum()), float(excess.sum())
+
+
+def test_magnitude_sensitivity_projected_greedy():
+    """Quantifies the blast radius of the RECONSTRUCTED constraint
+    magnitudes (sites.py provenance table): under the projected greedy
+    policy, magnitudes scale the feasible set, so profit must be monotone
+    nondecreasing in the scale while the network stays feasible."""
+    results = {}
+    for scale in (0.5, 1.0, 2.0):
+        env, params = _scaled_magnitude_params(scale, project=True)
+        profit, excess = _greedy_episode_terms(env, params)
+        results[scale] = (profit, excess)
+        # projection keeps the (rescaled) network feasible at every scale
+        assert excess < 0.05 * scale + 0.05, (scale, excess)
+    assert results[0.5][0] <= results[1.0][0] + 1e-3, results
+    assert results[1.0][0] <= results[2.0][0] + 1e-3, results
+    # -50% magnitude error visibly binds (profit strictly drops), so the
+    # reconstruction's accuracy matters and is worth documenting
+    assert results[0.5][0] < results[2.0][0], results
+
+
+def test_magnitude_sensitivity_unprojected_greedy():
+    """Without projection, magnitudes only enter the excess_charge reward
+    term: it must be monotone nonincreasing in the magnitude scale and
+    strictly positive when magnitudes are halved."""
+    results = {}
+    for scale in (0.5, 1.0, 2.0):
+        env, params = _scaled_magnitude_params(scale, project=False)
+        profit, excess = _greedy_episode_terms(env, params)
+        results[scale] = (profit, excess)
+        # profit term itself is magnitude-independent with projection off
+    assert results[0.5][1] >= results[1.0][1] >= results[2.0][1], results
+    assert results[0.5][1] > 0, results
+    p = [results[s][0] for s in (0.5, 1.0, 2.0)]
+    np.testing.assert_allclose(p, p[0], rtol=1e-5)
+
+
+def test_extracted_site_json_roundtrip(tmp_path):
+    """tools/extract_acn_site.py's JSON schema loads through
+    sites.load_site and reproduces the spec exactly (the override path the
+    reconstruction docs point acnportal users at)."""
+    import json
+
+    from sustaingym_tpu.envs.evcharging.sites import caltech_site, load_site
+
+    spec = caltech_site()
+    # exactly the schema extract_acn_site.py writes (tools/extract_acn_site.py:26-33)
+    payload = {
+        "station_ids": list(spec.station_ids),
+        "phase_angles": spec.phase_angles.tolist(),
+        "constraint_matrix": spec.constraint_matrix.tolist(),
+        "magnitudes": spec.magnitudes.tolist(),
+        "constraint_names": list(spec.constraint_names),
+        "min_pilots": [float(p) for p in spec.min_pilots],
+    }
+    path = tmp_path / "caltech_acn.json"
+    path.write_text(json.dumps(payload, indent=1))
+    spec2 = load_site("caltech", json_path=str(path))
+    assert spec2.station_ids == spec.station_ids
+    assert spec2.constraint_names == spec.constraint_names
+    np.testing.assert_array_equal(spec2.phase_angles, spec.phase_angles)
+    np.testing.assert_array_equal(spec2.constraint_matrix,
+                                  spec.constraint_matrix)
+    np.testing.assert_array_equal(spec2.magnitudes, spec.magnitudes)
+    np.testing.assert_array_equal(spec2.min_pilots, spec.min_pilots)
+
+
+def test_gmm_bank_matches_reference_sampler_distribution():
+    """The precomputed GMM day bank (a semantic delta vs the reference's
+    per-reset sampling, COMPONENTS.md 'Known deltas') is distributionally
+    faithful: KS tests on the arrival-time and requested-energy marginals
+    against fresh draws of the reference sampling algorithm from the same
+    packaged GMM pickle."""
+    from scipy import stats
+
+    from sustaingym_tpu.data.ev_gmm import (_assign_stations,
+                                            _sample_sessions,
+                                            build_gmm_trace_pack, load_gmm)
+
+    pack = build_gmm_trace_pack("caltech", "Summer 2021", n_days=60)
+    msk = pack["ev_mask"]
+    bank_arr = pack["ev_data"][..., 0][msk]
+    bank_req = pack["ev_data"][..., 3][msk]
+
+    # fresh reference-style draws (different seed stream than the bank)
+    data = load_gmm("caltech", "Summer 2021", 30)
+    gmm, cnt = data["gmm"], np.asarray(data["count"])
+    usage = np.asarray(data["station_usage"], dtype=np.float64)
+    rng = np.random.default_rng(987654)
+    fresh = []
+    for _ in range(60):
+        n = int(rng.choice(cnt))
+        s = _sample_sessions(gmm, n, rng)
+        st = _assign_stations(s, usage, rng)
+        fresh.append(s[st >= 0])
+    fresh = np.concatenate(fresh)
+    fresh_req = np.clip(fresh[:, 3], 0, 100.0)
+
+    ks_arr = stats.ks_2samp(bank_arr, fresh[:, 0])
+    ks_req = stats.ks_2samp(bank_req, fresh_req)
+    # generous alpha: these are two finite draws of the same distribution
+    assert ks_arr.pvalue > 1e-3, (ks_arr, len(bank_arr), len(fresh))
+    assert ks_req.pvalue > 1e-3, (ks_req,)
