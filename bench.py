@@ -191,10 +191,67 @@ def measure_reference() -> None:
     print(json.dumps({"reference_building_steps_per_s": round(n / dt, 1)}))
 
 
+def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
+               profile_dir: str | None = None, repeats: int = 3) -> dict:
+    steps = steps or {"cogen": 96, "datacenter": 672}.get(env_name, 288)
+    if env_name == "building":
+        # the XLA path hits a compile pathology beyond 64k envs; the fused
+        # kernel scales to HBM capacity
+        b = batch if fused else min(batch, 65536)
+        result = bench_building(b, steps, repeats=repeats, fused=fused,
+                                profile_dir=profile_dir)
+    elif env_name == "cogen":
+        if fused:
+            result = bench_fused("cogen", min(batch, 262144),
+                                 min(steps, 96), repeats=repeats,
+                                 profile_dir=profile_dir)
+        else:
+            result = bench_cogen(min(batch, 65536), min(steps, 96),
+                                 repeats=repeats, profile_dir=profile_dir)
+    elif env_name == "evcharging":
+        result = bench_generic("evcharging", min(batch, 16384),
+                               min(steps, 288), repeats=repeats,
+                               profile_dir=profile_dir)
+    elif env_name == "electricitymarket":
+        result = bench_generic("electricitymarket", min(batch, 4096),
+                               min(steps, 288), repeats=repeats,
+                               profile_dir=profile_dir)
+    elif env_name == "datacenter":
+        if fused:
+            result = bench_fused("datacenter", min(batch, 262144),
+                                 min(steps, 672), repeats=repeats,
+                                 profile_dir=profile_dir)
+        else:
+            result = bench_generic("datacenter", min(batch, 16384),
+                                   min(steps, 672), repeats=repeats,
+                                   profile_dir=profile_dir)
+    else:
+        raise SystemExit(f"unknown bench env {env_name}")
+
+    baseline = REF_BASELINE_STEPS_PER_S.get(env_name)
+    result["vs_baseline"] = (
+        round(result["value"] / baseline, 1) if baseline else None)
+    return result
+
+
+# default per-env batch when benching the whole suite (--env all): sized so
+# each env runs at its measured throughput sweet spot on one v5 chip
+SUITE_BATCH = {
+    "building": 131072,
+    "cogen": 65536,
+    "datacenter": 65536,
+    "evcharging": 16384,
+    "electricitymarket": 4096,
+}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", default="building")
-    parser.add_argument("--batch", type=int, default=131072)
+    parser.add_argument("--env", default="all",
+                        help="one env, or 'all' (default): one JSON line "
+                             "per env so the driver records the whole suite")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="env batch (default: per-env SUITE_BATCH)")
     parser.add_argument("--steps", type=int, default=None,
                         help="scan length (default: the env's episode "
                              "length: 288, cogen 96, datacenter 672)")
@@ -213,41 +270,13 @@ def main() -> None:
         measure_reference()
         return
 
-    steps = args.steps or {"cogen": 96, "datacenter": 672}.get(args.env, 288)
-    if args.env == "building":
-        # the XLA path hits a compile pathology beyond 64k envs; the fused
-        # kernel scales to HBM capacity
-        batch = args.batch if args.fused else min(args.batch, 65536)
-        result = bench_building(batch, steps, fused=args.fused,
-                                profile_dir=args.profile)
-    elif args.env == "cogen":
-        if args.fused:
-            result = bench_fused("cogen", min(args.batch, 262144),
-                                 min(steps, 96), profile_dir=args.profile)
-        else:
-            result = bench_cogen(min(args.batch, 65536), min(steps, 96),
-                                 profile_dir=args.profile)
-    elif args.env == "evcharging":
-        result = bench_generic("evcharging", min(args.batch, 16384),
-                               min(steps, 288), profile_dir=args.profile)
-    elif args.env == "electricitymarket":
-        result = bench_generic("electricitymarket", min(args.batch, 4096),
-                               min(steps, 288), profile_dir=args.profile)
-    elif args.env == "datacenter":
-        if args.fused:
-            result = bench_fused("datacenter", min(args.batch, 262144),
-                                 min(steps, 672), profile_dir=args.profile)
-        else:
-            result = bench_generic("datacenter", min(args.batch, 16384),
-                                   min(steps, 672),
-                                   profile_dir=args.profile)
-    else:
-        raise SystemExit(f"unknown bench env {args.env}")
-
-    baseline = REF_BASELINE_STEPS_PER_S.get(args.env)
-    result["vs_baseline"] = (
-        round(result["value"] / baseline, 1) if baseline else None)
-    print(json.dumps(result))
+    envs = (list(SUITE_BATCH) if args.env == "all" else [args.env])
+    for env_name in envs:
+        batch = args.batch or SUITE_BATCH.get(env_name, 131072)
+        result = _bench_one(env_name, batch, args.steps, args.fused,
+                            profile_dir=args.profile,
+                            repeats=2 if args.env == "all" else 3)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,22 +34,32 @@ def _force_cpu_if_virtual() -> None:
 
 
 def measure(n_devices: int, env_name: str, num_envs: int, rollout_len: int,
-            iters: int, mp: int = 1) -> dict:
+            iters: int, mp: int = 1, algo: str = "ppo",
+            hidden: int = 256) -> dict:
     import jax
 
     from .. import make
-    from ..parallel import PPOConfig, make_mesh
+    from ..parallel import (PPOConfig, SACConfig, make_mesh,
+                            make_sac_train_step)
     from ..parallel.mesh import data_sharding, replicated
     from ..parallel.ppo import _shard_carry, make_train_step
+    from ..parallel.sac import shard_sac_carry
 
     env, params = make(env_name)
-    cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len, hidden=256)
-    init_state, train_step = make_train_step(env, params, cfg)
-    carry = init_state(jax.random.PRNGKey(0))
-
     mesh = make_mesh(n_devices, mp=mp)
-    ds, rep = data_sharding(mesh), replicated(mesh)
-    carry = _shard_carry(carry, mesh, ds, rep)
+    if algo == "sac":
+        cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len,
+                        hidden=hidden)
+        init_state, train_step = make_sac_train_step(env, params, cfg)
+        carry = init_state(jax.random.PRNGKey(0))
+        carry = shard_sac_carry(carry, mesh)
+    else:
+        cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len,
+                        hidden=hidden)
+        init_state, train_step = make_train_step(env, params, cfg)
+        carry = init_state(jax.random.PRNGKey(0))
+        ds, rep = data_sharding(mesh), replicated(mesh)
+        carry = _shard_carry(carry, mesh, ds, rep)
 
     step = jax.jit(train_step, donate_argnums=0)
     carry, _ = step(carry, jax.random.PRNGKey(1))   # compile
@@ -78,6 +88,8 @@ def main(argv=None) -> None:
     parser.add_argument("--rollout-len", type=int, default=32)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--mp", type=int, default=1)
+    parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"],
+                        help="which fused learner to scale")
     args = parser.parse_args(argv)
 
     _force_cpu_if_virtual()
@@ -94,14 +106,23 @@ def main(argv=None) -> None:
     for n in counts:
         total = args.num_envs if args.strong else args.num_envs * n
         r = measure(n, args.env, total, args.rollout_len, args.iters,
-                    mp=args.mp)
+                    mp=args.mp, algo=args.algo)
+        r["algo"] = args.algo
+        r["scaling"] = "strong" if args.strong else "weak"
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:
         base = results[0]["env_steps_per_s"] / results[0]["devices"]
         for r in results[1:]:
-            eff = r["env_steps_per_s"] / (r["devices"] * base)
-            print(json.dumps({"devices": r["devices"],
+            if args.strong:
+                # strong scaling: same total work, efficiency = speedup / n
+                eff = (r["env_steps_per_s"]
+                       / (results[0]["env_steps_per_s"] * r["devices"]
+                          / results[0]["devices"]))
+            else:
+                eff = r["env_steps_per_s"] / (r["devices"] * base)
+            print(json.dumps({"devices": r["devices"], "algo": args.algo,
+                              "scaling": r["scaling"],
                               "scaling_efficiency": round(eff, 3)}))
 
 

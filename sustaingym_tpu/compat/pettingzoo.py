@@ -173,7 +173,9 @@ class MultiAgentEVChargingParallelEnv(_BaseParallelAdapter):
                  periods_delay: int = 0, discrete_bins: int = -1, **kwargs):
         from ..envs.evcharging import load_site
         params = make_ma_ev_params(periods_delay=periods_delay, site=site,
-                                   date_period=date_period, **kwargs)
+                                   date_period=date_period,
+                                   discrete_bins=max(discrete_bins, 0),
+                                   **kwargs)
         view = MultiAgentEVChargingEnv()
         spec = load_site(site)
         super().__init__(view, params, list(spec.station_ids))
@@ -192,8 +194,8 @@ class MultiAgentEVChargingParallelEnv(_BaseParallelAdapter):
         return self.view.reset_at_day(self.params, day)
 
     def _assemble(self, actions: dict) -> jnp.ndarray:
+        # discrete→continuous mapping happens inside the functional view
+        # (MAEVParams.discrete_bins), not here
         arr = np.stack([np.asarray(actions[a], np.float32).reshape(-1)
                         for a in self.possible_agents])
-        if self._discrete_bins > 0:
-            arr = arr / (self._discrete_bins - 1)
         return jnp.asarray(arr)

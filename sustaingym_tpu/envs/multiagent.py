@@ -215,6 +215,12 @@ def flat_dtype(params: CogenParams):
 class MAEVParams:
     base: EVParams
     periods_delay: int = static_field(default=0)
+    # > 0: per-agent actions are Discrete(discrete_bins) mapped to [0, 1] by
+    # a/(bins-1) — DiscreteActionWrapper composed into the view, mirroring
+    # the reference's MultiAgentEVChargingEnv(discrete_bins=...)
+    # (/root/reference/sustaingym/envs/evcharging/multiagent_env.py:64,80
+    # and wrappers.py:43-45)
+    discrete_bins: int = static_field(default=0)
 
 
 @dataclass
@@ -289,6 +295,10 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
     def step(self, params: MAEVParams, state: MAEVState, action, key):
         n = params.base.n_stations
         action = jnp.reshape(jnp.asarray(action), (n,))
+        if params.discrete_bins > 0:
+            # {0..bins-1} -> {0, 1/(bins-1), ..., 1} (wrappers.py:43-45)
+            action = (action.astype(jnp.float32)
+                      / (params.discrete_bins - 1))
         base_state, ts = self.base.step(params.base, state.base, action, key)
         # stale values come from the buffer BEFORE pushing the new obs:
         # the reference pops the (t - delay) entry, then appends obs(t)
@@ -303,11 +313,18 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
     def observation_space(self, params: MAEVParams):
         return self.base.observation_space(params.base)
 
-    def action_space(self, params: MAEVParams) -> Box:
+    def action_space(self, params: MAEVParams):
+        if params.discrete_bins > 0:
+            from ..core import MultiDiscrete
+            return MultiDiscrete(np.full((params.base.n_stations, 1),
+                                         params.discrete_bins,
+                                         dtype=np.int64))
         return Box(0.0, 1.0, (params.base.n_stations, 1))
 
 
-def make_ma_ev_params(periods_delay: int = 0, **kwargs) -> MAEVParams:
+def make_ma_ev_params(periods_delay: int = 0, discrete_bins: int = 0,
+                      **kwargs) -> MAEVParams:
     from .evcharging import make_params
     return MAEVParams(base=make_params(**kwargs),
-                      periods_delay=periods_delay)
+                      periods_delay=periods_delay,
+                      discrete_bins=discrete_bins)

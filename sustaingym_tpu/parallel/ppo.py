@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from ..core import FunctionalEnv, autoreset_step, flatten
+from ..core.spaces import Discrete, MultiDiscrete
 from ..core.struct import dataclass, static_field
 
 __all__ = ["PPOConfig", "init_policy", "policy_apply", "make_train_step",
@@ -99,6 +100,19 @@ def _gauss_logp(mu, log_std, a, mask=None):
     if mask is not None:
         terms = terms * mask
     return jnp.sum(terms, axis=-1)
+
+
+def _categorical_logp(logits, idx):
+    """Sum over action dims of log softmax(logits) at the chosen bins.
+    logits (..., act_dim, n_bins), idx (..., act_dim) int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.sum(jnp.take_along_axis(
+        logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0], axis=-1)
+
+
+def _categorical_entropy(logits):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=(-2, -1))
 
 
 def per_agent_apply(params: dict[str, Any], obs: jax.Array
@@ -187,13 +201,56 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     else:
         space = env.action_space(env_params)
         n_agents, mask, apply_fn = 0, None, policy_apply
-        act_transform = act_transform or default_act_transform(env, env_params)
         if not space.shape:
             act_dim = 1
         elif ma:
             act_dim = int(space.shape[-1])
         else:
             act_dim = int(np.prod(space.shape))
+
+    # discrete action spaces (DiscreteActionWrapper semantics / MA EV
+    # discrete_bins) get a categorical policy head instead of the
+    # diag-Gaussian — the analogue of the reference harnesses training on
+    # discretized envs (examples/evcharging/train_stable_baselines.py
+    # action_type='discrete', train_rllib.py get_env discrete_action)
+    discrete = isinstance(space, (Discrete, MultiDiscrete))
+    n_bins = 0
+    if discrete:
+        if pap:
+            raise ValueError("per-agent policies with discrete actions are "
+                             "not supported")
+        nvec = (np.asarray([space.n]) if isinstance(space, Discrete)
+                else np.asarray(space.nvec))
+        if not np.all(nvec == nvec.flat[0]):
+            raise ValueError(
+                f"categorical PPO needs uniform bins, got nvec={nvec}")
+        n_bins = int(nvec.flat[0])
+    elif act_transform is None and not pap:
+        act_transform = default_act_transform(env, env_params)
+    # policy head width: logits for discrete, mu for continuous
+    head_dim = act_dim * n_bins if discrete else act_dim
+
+    def sample_action(policy, obs, k_act):
+        """-> (u, logp, value, action). ``u`` is what the learner stores and
+        re-scores (pre-squash gaussian draw, or integer bin indices)."""
+        mu, log_std, value = apply_fn(policy, obs)
+        if discrete:
+            logits = mu.reshape(mu.shape[:-1] + (act_dim, n_bins))
+            u = jax.random.categorical(k_act, logits)
+            logp = _categorical_logp(logits, u)
+            return u, logp, value, u
+        u = mu + jnp.exp(log_std) * jax.random.normal(
+            k_act, mu.shape, mu.dtype)
+        return u, _gauss_logp(mu, log_std, u, mask), value, act_transform(u)
+
+    def score_action(policy, obs, u):
+        """-> (logp, value, log_std_or_logits) for the PPO/A2C loss."""
+        mu, log_std, value = apply_fn(policy, obs)
+        if discrete:
+            logits = mu.reshape(mu.shape[:-1] + (act_dim, n_bins))
+            u_int = u.astype(jnp.int32)
+            return _categorical_logp(logits, u_int), value, logits
+        return _gauss_logp(mu, log_std, u, mask), value, log_std
 
     def init_state(key):
         kp, kr = jax.random.split(key)
@@ -202,10 +259,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         obs = jax.vmap(obs_fn)(ts.obs)
         if pap:
             policy = jax.vmap(
-                lambda k: init_policy(k, obs.shape[-1], act_dim, cfg.hidden)
+                lambda k: init_policy(k, obs.shape[-1], head_dim, cfg.hidden)
             )(jax.random.split(kp, n_agents))
         else:
-            policy = init_policy(kp, obs.shape[-1], act_dim, cfg.hidden)
+            policy = init_policy(kp, obs.shape[-1], head_dim, cfg.hidden)
         return {"policy": policy, "opt": opt.init(policy),
                 "env_states": states, "obs": obs}
 
@@ -213,11 +270,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         def body(carry, key_t):
             states, obs = carry
             k_act, k_env = jax.random.split(key_t)
-            mu, log_std, value = apply_fn(policy, obs)
-            u = mu + jnp.exp(log_std) * jax.random.normal(
-                k_act, mu.shape, mu.dtype)
-            logp = _gauss_logp(mu, log_std, u, mask)
-            action = act_transform(u)
+            u, logp, value, action = sample_action(policy, obs, k_act)
             env_keys = jax.random.split(k_env, cfg.num_envs)
             states, ts = vstep(env_params, states, action, env_keys)
             next_obs = jax.vmap(obs_fn)(ts.obs)
@@ -252,8 +305,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         return advs, advs + traj["value"]
 
     def loss_fn(policy, batch):
-        mu, log_std, value = apply_fn(policy, batch["obs"])
-        logp = _gauss_logp(mu, log_std, batch["u"], mask)
+        logp, value, dist_stats = score_action(policy, batch["obs"],
+                                               batch["u"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         if cfg.algo == "a2c":
@@ -265,9 +318,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
             ).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
-        ent_terms = log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)
-        ent = (jnp.sum(mask * ent_terms) / n_agents if pap
-               else jnp.sum(ent_terms))
+        if discrete:
+            ent = jnp.mean(_categorical_entropy(dist_stats))
+        else:
+            ent_terms = dist_stats + 0.5 * jnp.log(2 * jnp.pi * jnp.e)
+            ent = (jnp.sum(mask * ent_terms) / n_agents if pap
+                   else jnp.sum(ent_terms))
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
         return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent}
 

@@ -126,6 +126,11 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
     """
     if getattr(env, "ppo_incompatible", None):
         raise ValueError(env.ppo_incompatible)
+    if getattr(env, "per_agent_policy", False):
+        raise ValueError(
+            f"{env.name}: heterogeneous per-agent action dims are only "
+            "supported by the PPO learner (stacked per-agent policies); "
+            "use --algo ppo")
     step_fn = autoreset_step(env)
     vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
     ma = bool(getattr(env, "agent_axis", False))

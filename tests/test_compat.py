@@ -83,18 +83,49 @@ def test_discrete_action_wrapper(building_env):
 # ---------------------------------------------------------------------------
 
 def test_ma_building_parallel_api():
+    # >=500 cycles: comparable rigor to the reference's 1000-cycle checks
+    # (/root/reference/tests/test_building.py), spanning episode boundaries
     env = compat.MultiAgentBuildingParallelEnv()
-    parallel_api_test(env, num_cycles=30)
+    parallel_api_test(env, num_cycles=600)
 
 
 def test_ma_cogen_parallel_api():
     env = compat.MultiAgentCogenParallelEnv(forecast_horizon=2)
-    parallel_api_test(env, num_cycles=30)
+    parallel_api_test(env, num_cycles=500)
 
 
 def test_ma_evcharging_parallel_api():
     env = compat.MultiAgentEVChargingParallelEnv()
-    parallel_api_test(env, num_cycles=20)
+    parallel_api_test(env, num_cycles=500)
+
+
+def test_ma_evcharging_discrete_parallel_api():
+    """Discrete-action MA EV (DiscreteActionWrapper composed into the view,
+    mirroring the reference MultiAgentEVChargingEnv(discrete_bins=5),
+    multiagent_env.py:64,91-96)."""
+    env = compat.MultiAgentEVChargingParallelEnv(discrete_bins=5)
+    import gymnasium.spaces as gs
+    assert isinstance(env.action_spaces[env.possible_agents[0]], gs.Discrete)
+    parallel_api_test(env, num_cycles=500)
+
+
+def test_ma_evcharging_discrete_matches_continuous():
+    """Discrete action k equals continuous action k/(bins-1) exactly."""
+    import jax, jax.numpy as jnp
+    from sustaingym_tpu.envs.multiagent import (MultiAgentEVChargingEnv,
+                                                make_ma_ev_params)
+    pd = make_ma_ev_params(discrete_bins=5, project_action=False)
+    pc = make_ma_ev_params(project_action=False)
+    view = MultiAgentEVChargingEnv()
+    sd, _ = view.reset_at_day(pd, 3)
+    sc, _ = view.reset_at_day(pc, 3)
+    disc = np.full((pd.base.n_stations,), 3, np.int32)
+    cont = disc.astype(np.float32) / 4.0
+    _, tsd = view.step(pd, sd, jnp.asarray(disc), jax.random.PRNGKey(0))
+    _, tsc = view.step(pc, sc, jnp.asarray(cont), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(tsd.reward),
+                                  np.asarray(tsc.reward))
+    np.testing.assert_array_equal(np.asarray(tsd.obs), np.asarray(tsc.obs))
 
 
 def test_ma_evcharging_periods_delay():
