@@ -213,7 +213,7 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
                                min(steps, 288), repeats=repeats,
                                profile_dir=profile_dir)
     elif env_name == "electricitymarket":
-        result = bench_generic("electricitymarket", min(batch, 4096),
+        result = bench_generic("electricitymarket", min(batch, 8192),
                                min(steps, 288), repeats=repeats,
                                profile_dir=profile_dir)
     elif env_name == "datacenter":
@@ -237,11 +237,11 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
 # default per-env batch when benching the whole suite (--env all): sized so
 # each env runs at its measured throughput sweet spot on one v5 chip
 SUITE_BATCH = {
-    "building": 131072,
-    "cogen": 65536,
-    "datacenter": 65536,
-    "evcharging": 16384,
-    "electricitymarket": 4096,
+    "building": 524288,
+    "cogen": 262144,
+    "datacenter": 262144,
+    "evcharging": 16384,     # 32768 measured SLOWER (19.2M vs 22.5M)
+    "electricitymarket": 8192,
 }
 
 

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from .gym import (BuildingGymEnv, CogenGymEnv, DataCenterGymEnv,
                   DiscreteActionWrapper, ElectricityMarketGymEnv,
-                  EVChargingGymEnv, FunctionalGymEnv, to_gym_space)
+                  EVChargingGymEnv, FunctionalGymEnv,
+                  FunctionalVectorGymEnv, make_vec, to_gym_space)
 from .pettingzoo import (MultiAgentBuildingParallelEnv,
                          MultiAgentCogenParallelEnv,
                          MultiAgentEVChargingParallelEnv)
@@ -42,7 +43,7 @@ _register()
 __all__ = [
     "FunctionalGymEnv", "BuildingGymEnv", "CogenGymEnv", "EVChargingGymEnv",
     "ElectricityMarketGymEnv", "DataCenterGymEnv", "DiscreteActionWrapper",
-    "to_gym_space",
+    "FunctionalVectorGymEnv", "make_vec", "to_gym_space",
     "MultiAgentBuildingParallelEnv", "MultiAgentCogenParallelEnv",
     "MultiAgentEVChargingParallelEnv",
 ]

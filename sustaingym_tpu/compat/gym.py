@@ -223,3 +223,74 @@ class DiscreteActionWrapper(gymnasium.ActionWrapper):
 
     def action(self, action):
         return np.asarray(action, dtype=self._cont_dtype) / (self._bins - 1)
+
+
+class FunctionalVectorGymEnv(gymnasium.vector.VectorEnv):
+    """``gymnasium.vector.VectorEnv`` over ONE jitted vmapped device program.
+
+    The host-API analogue of the reference's SB3 ``SubprocVecEnv`` of 4
+    worker processes (/root/reference/examples/evcharging/
+    train_stable_baselines.py:275) — here ``num_envs`` can be thousands
+    because the batch lives on-device and each ``step()`` call is a single
+    dispatch of the vmapped autoreset step.
+
+    Autoreset semantics are FUNCTIONAL (same-step): when an episode ends,
+    the returned obs is already the next episode's reset obs and
+    terminated/truncated flag that boundary — matching
+    ``core.env.autoreset_step`` (and gymnasium's classic VectorEnv
+    behavior, not the v1.0 one-step-delayed variant).
+    """
+
+    metadata: dict[str, Any] = {}
+
+    def __init__(self, env, params, num_envs: int, seed: int = 0):
+        from ..core.env import autoreset_step
+
+        self.fenv = env
+        self.params = params
+        self.num_envs = int(num_envs)
+        self.single_observation_space = to_gym_space(
+            env.observation_space(params))
+        self.single_action_space = to_gym_space(env.action_space(params))
+        self.observation_space = gymnasium.vector.utils.batch_space(
+            self.single_observation_space, self.num_envs)
+        self.action_space = gymnasium.vector.utils.batch_space(
+            self.single_action_space, self.num_envs)
+        self._vreset = jax.jit(jax.vmap(env.reset, in_axes=(None, 0)))
+        self._vstep = jax.jit(
+            jax.vmap(autoreset_step(env), in_axes=(None, 0, 0, 0)))
+        self._key = jax.random.PRNGKey(seed)
+        self._states = None
+
+    def _convert_obs(self, obs):
+        if isinstance(obs, dict):
+            return {k: np.asarray(v) for k, v in obs.items()}
+        return np.asarray(obs)
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, self.num_envs)
+        self._states, ts = self._vreset(self.params, keys)
+        return self._convert_obs(ts.obs), {}
+
+    def step(self, actions):
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, self.num_envs)
+        self._states, ts = self._vstep(self.params, self._states,
+                                       jnp.asarray(actions), keys)
+        info = {k: np.asarray(v) for k, v in ts.info.items()}
+        return (self._convert_obs(ts.obs), np.asarray(ts.reward),
+                np.asarray(ts.terminated), np.asarray(ts.truncated), info)
+
+    def close(self, **kwargs):
+        pass
+
+
+def make_vec(name: str, num_envs: int, seed: int = 0,
+             **kwargs) -> FunctionalVectorGymEnv:
+    """``make_vec('building', 1024)`` -> vectorized gymnasium env."""
+    from .. import make as _make
+    env, params = _make(name, **kwargs)
+    return FunctionalVectorGymEnv(env, params, num_envs, seed=seed)

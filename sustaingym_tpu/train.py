@@ -56,7 +56,13 @@ def restore_checkpoint(path: str, carry_like):
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--env", default="building",
-                        help="building|cogen|evcharging|electricitymarket|datacenter")
+                        help="building|cogen|evcharging|electricitymarket|datacenter"
+                             " (plus the *-multiagent views)")
+    parser.add_argument("--env-kwargs", default=None,
+                        help="JSON dict forwarded to make(env, **kwargs) — "
+                             "the RLLib env_config analogue (reference "
+                             "train_rllib.py:157), e.g. "
+                             "'{\"site\": \"jpl\", \"discrete_bins\": 5}'")
     parser.add_argument("--algo", default="ppo", choices=["ppo", "a2c", "sac"],
                         help="ppo/a2c (on-policy, fused rollout+update) or "
                              "sac (off-policy, on-device replay ring)")
@@ -100,7 +106,9 @@ def main(argv: list[str] | None = None) -> None:
     from sustaingym_tpu.parallel.sac import shard_sac_carry
     from sustaingym_tpu.parallel.mesh import data_sharding, replicated
 
-    env, env_params = make(args.env)
+    import json as _json
+    env_kwargs = _json.loads(args.env_kwargs) if args.env_kwargs else {}
+    env, env_params = make(args.env, **env_kwargs)
     if args.algo == "sac":
         cfg = SACConfig(num_envs=args.num_envs,
                         rollout_len=args.rollout_len,
