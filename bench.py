@@ -160,6 +160,41 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
     }
 
 
+def bench_train(env_name: str = "building", num_envs: int = 4096,
+                rollout_len: int = 64, iters: int = 5) -> dict:
+    """Fused PPO train-step throughput (rollout + GAE + 4x8 minibatch update
+    as ONE program) — the learner-side counterpart of the env rollouts.
+    Measured sweet spot on one v5 chip: ~4.8M env-steps/s at 4096x64
+    (update-bound beyond that; the env rollout alone runs 2 orders faster)."""
+    import jax
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.parallel import PPOConfig
+    from sustaingym_tpu.parallel.ppo import make_train_step
+
+    env, params = make(env_name)
+    cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+    step = jax.jit(train_step, donate_argnums=0)
+    carry, m = step(carry, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry, m = step(carry, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": f"ppo_{env_name}_train_env_steps_per_s_per_chip",
+        "value": round(num_envs * rollout_len / dt, 1),
+        "unit": "env-steps/s",
+        "batch": num_envs,
+        "rollout_len": rollout_len,
+        "device": str(jax.devices()[0]),
+        "vs_baseline": None,
+    }
+
+
 def measure_reference() -> None:
     """Measures the reference engine on this machine (requires the reference
     tree at /root/reference and the pvlib shim)."""
@@ -270,6 +305,10 @@ def main() -> None:
         measure_reference()
         return
 
+    if args.env == "train":
+        print(json.dumps(bench_train()), flush=True)
+        return
+
     envs = (list(SUITE_BATCH) if args.env == "all" else [args.env])
     for env_name in envs:
         batch = args.batch or SUITE_BATCH.get(env_name, 131072)
@@ -277,6 +316,9 @@ def main() -> None:
                             profile_dir=args.profile,
                             repeats=2 if args.env == "all" else 3)
         print(json.dumps(result), flush=True)
+    if args.env == "all":
+        # learner-side line: the fused PPO train step (rollout+GAE+update)
+        print(json.dumps(bench_train()), flush=True)
 
 
 if __name__ == "__main__":
