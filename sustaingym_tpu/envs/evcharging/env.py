@@ -340,6 +340,82 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             truncated=jnp.zeros((), bool), info=info)
         return new_state, ts
 
+    # ---- lockstep fast path ----------------------------------------------
+    def batch_unroll(self, params: EVParams, policy, policy_params,
+                     key: jax.Array, batch: int, num_steps: int,
+                     prefetch: int = 48) -> TimeStep:
+        """Fused reset+rollout of ``batch`` lockstep envs on the SAME PRNG
+        stream as the generic ``batch_rollout`` (bit-compatible
+        trajectories up to XLA fusion drift).
+
+        EV episodes all have static length MAX_TIMESTEP, so a batch reset
+        together stays in lockstep forever. The win over the generic
+        autoreset scan: the functional autoreset's per-step ``env.reset``
+        (discarded on every non-boundary step — a fresh zero-state + obs
+        build + moer gather + tree-select over every TimeStep leaf) happens
+        only at the actual episode boundary, once per MAX_TIMESTEP steps.
+        The (day, t) row stays a per-step gather feeding compute directly:
+        a prefetch-whole-segment variant was measured SLOWER (the staged
+        (seg, B, 203) block costs an extra HBM write+read+transpose, 13.5M
+        vs 22.5M env-steps/s at batch 16384 on one v5 chip).
+        """
+        del prefetch  # kept for call-compat; segmenting follows episodes
+        L = MAX_TIMESTEP
+        rows_per_day = params.step_table.shape[1]
+        width = params.step_table.shape[2]
+        flat_table = params.step_table.reshape(-1, width)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        state, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(params, init_keys)
+        obs = ts0.obs
+        keys = jax.random.split(key_scan, num_steps)
+        vrow = jax.vmap(self._step_row, in_axes=(None, 0, 0, 0))
+
+        parts = []
+        t0 = 0
+        while t0 < num_steps:
+            t_in_ep = t0 % L
+            seg = min(L - t_in_ep, num_steps - t0)
+            seg_keys = keys[t0:t0 + seg]
+            # all envs share the scan-step index; days are fixed within an
+            # episode segment, so the row index is one (B,) vector add
+            base = state.day * rows_per_day
+
+            def body(carry, inp):
+                st, obs = carry
+                key_t, t = inp
+                key_act, key_env = jax.random.split(key_t)
+                actions = policy(policy_params, obs, key_act)
+                rows = flat_table[base + t]           # (B, width) gather
+                st, ts = vrow(params, st, actions, rows)
+                return (st, ts.obs), (ts, key_env)
+
+            ts_idx = jnp.arange(t_in_ep, t_in_ep + seg, dtype=jnp.int32)
+            (state, obs), (traj, env_keys) = jax.lax.scan(
+                body, (state, obs), (seg_keys, ts_idx))
+
+            if t_in_ep + seg == L:
+                # episode boundary: splice in the autoreset state/obs with
+                # exactly core.autoreset_step's key derivation
+                # (env key -> split -> reset key -> reset's day randint)
+                bkeys = jax.random.split(env_keys[-1], batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                days = jax.vmap(lambda k: jax.random.randint(
+                    k, (), 0, params.n_days))(reset_keys)
+                state, ts_reset = jax.vmap(
+                    self.reset_at_day, in_axes=(None, 0))(params, days)
+                obs = ts_reset.obs
+                traj = traj.replace(obs=jax.tree.map(
+                    lambda o, r: o.at[-1].set(r), traj.obs, obs))
+            parts.append(traj)
+            t0 += seg
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     # ---- obs/info -------------------------------------------------------
     def _obs(self, params: EVParams, state: EVState) -> dict[str, jax.Array]:
         """(env.py:381-394)"""

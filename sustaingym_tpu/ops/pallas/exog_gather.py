@@ -85,11 +85,15 @@ def _kernel(starts_ref, table_ref, out_ref, *, chunk: int, nr: int, epr: int,
 
 
 def _padded_cols(c: int) -> int:
-    """Pads the column count to a power-of-two divisor of 128."""
+    """Pads the column count to a power-of-two divisor of 128.
+
+    Only defined for c <= 128 (wider tables take the XLA fallback); for
+    c in (64, 128] the divisor is 128 itself.
+    """
+    if c > _LANES:
+        raise ValueError(f"_padded_cols: {c} columns > {_LANES} lanes")
     cp = 1 << max(0, int(np.ceil(np.log2(max(c, 1)))))
-    while _LANES % cp:
-        cp *= 2
-    return cp
+    return min(cp, _LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("length", "interpret"))
@@ -155,14 +159,19 @@ def episode_slice_gather(table: jax.Array, starts: jax.Array, length: int
     starts, caller guarantees ``starts + length <= R``. Returns (B, length, C).
     """
     rows, c = table.shape
+    platform = jax.devices()[0].platform
+    if platform != "tpu" or c > _LANES:
+        # rows wider than the lane tile (e.g. EVCharging's 203-float step
+        # rows) take the XLA path: a per-env contiguous dynamic_slice is
+        # already tile-aligned, so the Pallas repacking buys nothing
+        return _xla_slice_gather(table, starts, length)
     cp = _padded_cols(c)
     epr = _LANES // cp
     packed_bytes = int(np.ceil(rows / epr)) * _LANES * table.dtype.itemsize
     nr = int(np.ceil(length * cp / _LANES))
     # the VMEM output block holds at most 512 envs (see _pallas_slice_gather)
     out_block_bytes = 512 * nr * _LANES * table.dtype.itemsize
-    platform = jax.devices()[0].platform
-    if (platform != "tpu" or c > _LANES or packed_bytes > _MAX_TABLE_BYTES
+    if (packed_bytes > _MAX_TABLE_BYTES
             or out_block_bytes > 6 * 1024 * 1024):
         return _xla_slice_gather(table, starts, length)
     return _pallas_slice_gather(table, starts, length)

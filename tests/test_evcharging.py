@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from sustaingym_tpu.envs import evcharging
 from sustaingym_tpu.envs.evcharging.env import (
-    A_PERS_TO_KWH, ACTION_SCALE_FACTOR, BATTERY_CAPACITY, PROFIT_FACTOR,
-    TRANSITION_SOC, battery_charge, quantize_pilots)
+    A_PERS_TO_KWH, ACTION_SCALE_FACTOR, BATTERY_CAPACITY, MAX_TIMESTEP,
+    PROFIT_FACTOR, TRANSITION_SOC, battery_charge, quantize_pilots)
 from sustaingym_tpu.ops import qp
 from sustaingym_tpu.core import batch_rollout, random_policy
 
@@ -419,3 +419,30 @@ def test_gmm_bank_matches_reference_sampler_distribution():
     # generous alpha: these are two finite draws of the same distribution
     assert ks_arr.pvalue > 1e-3, (ks_arr, len(bank_arr), len(fresh))
     assert ks_req.pvalue > 1e-3, (ks_req,)
+
+
+def test_batch_unroll_matches_generic(env_and_params):
+    """EV lockstep fast path == the generic autoreset scan on the same PRNG
+    stream (trajectories bit-compatible up to XLA fusion drift), across an
+    episode boundary so the autoreset splice is exercised."""
+    env, params = env_and_params
+    batch = 4
+    steps = MAX_TIMESTEP + 5
+    policy = random_policy(env, params, batch)
+    key = jax.random.PRNGKey(42)
+    slow = batch_rollout(env, params, policy, None, key, batch, steps,
+                         fast=False)
+    fast = env.batch_unroll(params, policy, None, key, batch, steps,
+                            prefetch=48)
+    np.testing.assert_allclose(np.asarray(fast.reward),
+                               np.asarray(slow.reward), rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fast.terminated),
+                                  np.asarray(slow.terminated))
+    for k in slow.obs:
+        np.testing.assert_allclose(np.asarray(fast.obs[k]),
+                                   np.asarray(slow.obs[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for k in slow.info:
+        np.testing.assert_allclose(np.asarray(fast.info[k]),
+                                   np.asarray(slow.info[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
