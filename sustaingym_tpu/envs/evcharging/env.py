@@ -416,6 +416,145 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
+    def fused_rollout(self, params: EVParams, key: jax.Array, batch: int,
+                      num_steps: int, actions: jax.Array | None = None,
+                      w: int = 128, force_kernel: bool = False,
+                      interpret: bool = False) -> TimeStep:
+        """Maximum-throughput rollout: whole episodes run inside one Pallas
+        kernel per 128-env group (ops/pallas/ev_rollout.py), station state
+        VMEM-resident, the ADMM projection's matmuls on the MXU.
+
+        Measured at batch 16384 x 288 on one v5 chip: 89.4M env-steps/s
+        with projection OFF (2.4x the XLA scan's 36.8M). With projection ON
+        the kernel runs 10.0M — SLOWER than the XLA path's 22.5M, because
+        the per-group (64,64)x(64,128) ADMM matmuls pad 54 stations to 64
+        and use a quarter of the 128x128 MXU, while XLA batches the same
+        matmuls over all 16384 envs at near-full tiles. ``fused_rollout``
+        therefore dispatches projected configs to :meth:`batch_unroll`
+        unless ``force_kernel`` (kept for parity tests and for larger-MXU
+        parts where the trade-off may flip).
+
+        Semantics match :meth:`batch_unroll` except:
+        - ``obs`` is an empty dict — the simulation tier returns rewards +
+          info only (reconstructing Dict obs per step would triple the
+          output bytes for a consumer that never reads them; use
+          :meth:`batch_unroll` for policy-in-the-loop rollouts);
+        - with ``actions=None`` the kernel draws U[0, 1) station actions
+          from the on-core PRNG — the same distribution as
+          ``random_policy`` on a counter-based stream. Reset-day streams
+          reuse the jax.random derivation of :meth:`batch_unroll`, so
+          episode CONTENT is identically distributed.
+        With prescribed ``actions`` ((num_steps, batch, n), driven by the
+        parity tests) rewards/info match the XLA path to float tolerance.
+
+        Requires float32 params, batch % w == 0, and a TPU (or
+        ``interpret=True``); falls back to :meth:`batch_unroll` otherwise
+        when ``actions`` is None.
+        """
+        on_tpu = jax.devices()[0].platform == "tpu"
+        dtype_ok = params.moer.dtype == jnp.float32
+        proj_ok = not params.project_action or force_kernel or interpret
+        if not (batch % w == 0 and dtype_ok and proj_ok
+                and (on_tpu or interpret)):
+            if actions is not None:
+                raise ValueError("fused_rollout with explicit actions "
+                                 "requires a supported config")
+            from ...core.rollout import random_policy
+            return self.batch_unroll(params, random_policy(self, params,
+                                                           batch), None,
+                                     key, batch, num_steps)
+
+        from ...ops.pallas.ev_rollout import (build_ev_operators,
+                                              fused_ev_segment)
+
+        n = params.n_stations
+        L = MAX_TIMESTEP
+        nb = batch // w
+        k_op, ct_op, c_op, consts = build_ev_operators(params, w)
+        # padded per-day wx table: [plug_dep(64) | plug_req(64) | moer0 | pad]
+        dep_t = params.step_table[:, :, :n]
+        req_t = params.step_table[:, :, 2 * n:3 * n]
+        moer0_t = params.step_table[:, :, 3 * n:3 * n + 1]
+
+        def pad_to(x, rows):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, rows - x.shape[2])))
+
+        table = jnp.concatenate(
+            [pad_to(dep_t, 64), pad_to(req_t, 64), pad_to(moer0_t, 8)],
+            axis=2)                                  # (n_days, 289, 136)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        days = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, params.n_days))(init_keys)
+        keys = jax.random.split(key_scan, num_steps)
+
+        iters = int(params.proj.iters)
+        rho = float(params.proj.rho)
+        alpha = float(params.proj.alpha)
+
+        parts = []
+        t0 = 0
+        seg_idx = 0
+        while t0 < num_steps:
+            seg = min(L, num_steps - t0)
+            wx = table[days][:, :seg]                # (B, seg, 136)
+            wx = jnp.transpose(wx.reshape(nb, w, seg, 136), (0, 2, 3, 1))
+            if actions is None:
+                acts = jnp.zeros((1, 1, 1, w), jnp.float32)
+                seed = jax.random.randint(
+                    jax.random.fold_in(key_scan, seg_idx), (),
+                    0, 2 ** 31 - 1)
+                use_rng = True
+            else:
+                a = jnp.asarray(actions[t0:t0 + seg], jnp.float32)
+                a64 = jnp.zeros((seg, batch, 64),
+                                jnp.float32).at[:, :, :n].set(a)
+                acts = jnp.transpose(
+                    a64.reshape(seg, nb, w, 64), (1, 0, 3, 2))
+                seed = jnp.zeros((), jnp.int32)
+                use_rng = False
+            out = fused_ev_segment(
+                k_op, ct_op, c_op, consts, wx, acts, seed, seg, n, w,
+                iters, rho, alpha, bool(params.project_action), use_rng,
+                interpret=interpret)
+
+            def field(i):
+                return jnp.transpose(
+                    out[:, :, i, :], (1, 0, 2)).reshape(seg, batch)
+
+            reward = field(0)
+            done = jnp.zeros((seg, batch), bool)
+            if seg == L:
+                done = done.at[-1].set(True)
+            info = {
+                "profit": field(1),
+                "carbon_cost": field(2),
+                "excess_charge": field(3),
+                "max_profit": jnp.broadcast_to(
+                    params.day_max_profit[days], (seg, batch)),
+                "num_evs": jnp.broadcast_to(
+                    params.day_num_evs[days], (seg, batch)),
+            }
+            ts = TimeStep(obs={}, reward=reward, terminated=done,
+                          truncated=jnp.zeros_like(done), info=info)
+            parts.append(ts)
+
+            if seg == L:
+                # autoreset day resampling, same derivation as batch_unroll
+                _, key_env = jax.random.split(keys[t0 + seg - 1])
+                bkeys = jax.random.split(key_env, batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                days = jax.vmap(lambda k: jax.random.randint(
+                    k, (), 0, params.n_days))(reset_keys)
+            t0 += seg
+            seg_idx += 1
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
     # ---- obs/info -------------------------------------------------------
     def _obs(self, params: EVParams, state: EVState) -> dict[str, jax.Array]:
         """(env.py:381-394)"""

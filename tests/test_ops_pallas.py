@@ -59,3 +59,85 @@ def test_episode_slice_gather_dispatch():
     ref = _xla_slice_gather(table, starts, 288)
     assert out.shape == (16, 288, 4)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_ev_rollout_matches_xla():
+    """Fused EV Pallas kernel (interpret mode) == the XLA step loop on the
+    same prescribed actions and days: 30-iter ADMM projection, pilot
+    quantization, plug/unplug events, two-stage battery, reward terms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu.envs import evcharging
+
+    env, params = evcharging.make_env(site="caltech",
+                                      date_period="Summer 2021",
+                                      project_action=True, proj_iters=12)
+    n = params.n_stations
+    batch, steps, w = 128, 12, 128
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(0)
+    actions = jnp.asarray(rng.uniform(0, 1, (steps, batch, n)), jnp.float32)
+
+    fused = env.fused_rollout(params, key, batch, steps, actions=actions,
+                              w=w, interpret=True)
+
+    # replicate the fused path's day derivation, then drive the XLA step
+    key_init, _ = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    days = jax.vmap(lambda k: jax.random.randint(
+        k, (), 0, params.n_days))(init_keys)
+    state, _ = jax.vmap(env.reset_at_day, in_axes=(None, 0))(params, days)
+    vstep = jax.jit(jax.vmap(env.step, in_axes=(None, 0, 0, None)))
+    rewards, profits, excesses = [], [], []
+    for t in range(steps):
+        state, ts = vstep(params, state, actions[t], jax.random.PRNGKey(0))
+        rewards.append(np.asarray(ts.reward))
+        profits.append(np.asarray(ts.info["profit"]))
+        excesses.append(np.asarray(ts.info["excess_charge"]))
+
+    np.testing.assert_allclose(np.asarray(fused.reward),
+                               np.asarray(rewards), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused.info["profit"]),
+                               np.asarray(profits), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused.info["excess_charge"]),
+                               np.asarray(excesses), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_ev_rollout_unprojected_matches_xla():
+    """Projection-off fused EV kernel == XLA step loop (prescribed actions);
+    also exercises the excess_charge path, which an unprojected greedy
+    policy drives hard. (RNG mode needs the on-core PRNG — TPU only, driven
+    by bench.py; interpret mode has no prng_seed lowering.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu.envs import evcharging
+
+    env, params = evcharging.make_env(site="caltech",
+                                      date_period="Summer 2021",
+                                      project_action=False)
+    n = params.n_stations
+    batch, steps = 128, 10
+    key = jax.random.PRNGKey(3)
+    actions = jnp.ones((steps, batch, n), jnp.float32)
+    fused = env.fused_rollout(params, key, batch, steps, actions=actions,
+                              interpret=True)
+    key_init, _ = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    days = jax.vmap(lambda k: jax.random.randint(
+        k, (), 0, params.n_days))(init_keys)
+    state, _ = jax.vmap(env.reset_at_day, in_axes=(None, 0))(params, days)
+    vstep = jax.jit(jax.vmap(env.step, in_axes=(None, 0, 0, None)))
+    rewards, excesses = [], []
+    for t in range(steps):
+        state, ts = vstep(params, state, actions[t], jax.random.PRNGKey(0))
+        rewards.append(np.asarray(ts.reward))
+        excesses.append(np.asarray(ts.info["excess_charge"]))
+    assert np.asarray(excesses).sum() > 0  # greedy violates the network
+    np.testing.assert_allclose(np.asarray(fused.reward),
+                               np.asarray(rewards), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused.info["excess_charge"]),
+                               np.asarray(excesses), rtol=2e-4, atol=2e-5)
