@@ -132,12 +132,12 @@ def bench_generic(env_name: str, batch: int, steps: int, repeats: int = 3,
 
 
 def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
-                profile_dir: str | None = None) -> dict:
+                profile_dir: str | None = None, **make_kwargs) -> dict:
     import jax
 
     from sustaingym_tpu import make
 
-    env, params = make(env_name)
+    env, params = make(env_name, **make_kwargs)
     # label honestly: fused_rollout silently falls back to the XLA path for
     # unsupported configs (off-TPU, batch not a tile multiple, ...)
     fused_ok = (jax.devices()[0].platform == "tpu" and batch % 1024 == 0)
@@ -227,7 +227,8 @@ def measure_reference() -> None:
 
 
 def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
-               profile_dir: str | None = None, repeats: int = 3) -> dict:
+               profile_dir: str | None = None, repeats: int = 3,
+               project_action: bool = True) -> dict:
     steps = steps or {"cogen": 96, "datacenter": 672}.get(env_name, 288)
     if env_name == "building":
         # the XLA path hits a compile pathology beyond 64k envs; the fused
@@ -244,9 +245,20 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
             result = bench_cogen(min(batch, 65536), min(steps, 96),
                                  repeats=repeats, profile_dir=profile_dir)
     elif env_name == "evcharging":
-        result = bench_generic("evcharging", min(batch, 16384),
-                               min(steps, 288), repeats=repeats,
-                               profile_dir=profile_dir)
+        if not project_action and fused:
+            # fused Pallas simulation tier (projection-off only; projected
+            # configs route to the XLA path inside fused_rollout — see
+            # docs/benchmarks.md "Where the time goes" #2)
+            result = bench_fused("evcharging", min(batch, 16384),
+                                 min(steps, 288), repeats=repeats,
+                                 profile_dir=profile_dir,
+                                 project_action=False)
+        else:
+            result = bench_generic("evcharging", min(batch, 16384),
+                                   min(steps, 288), repeats=repeats,
+                                   profile_dir=profile_dir,
+                                   project_action=project_action)
+        result["project_action"] = project_action
     elif env_name == "electricitymarket":
         result = bench_generic("electricitymarket", min(batch, 8192),
                                min(steps, 288), repeats=repeats,
@@ -264,6 +276,10 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
         raise SystemExit(f"unknown bench env {env_name}")
 
     baseline = REF_BASELINE_STEPS_PER_S.get(env_name)
+    if env_name == "evcharging" and not project_action:
+        # the measured reference baseline (~1e2 steps/s) is WITH the MOSEK
+        # projection; an unprojected ratio would overstate the speedup
+        baseline = None
     result["vs_baseline"] = (
         round(result["value"] / baseline, 1) if baseline else None)
     return result
@@ -296,9 +312,15 @@ def main() -> None:
                              "repeat to DIR")
     parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
                         default=True,
-                        help="building/cogen/datacenter: whole-episode Pallas "
+                        help="building/cogen/datacenter (+ evcharging with "
+                             "--no-project-action): whole-episode Pallas "
                              "kernel rollout (--no-fused = the parity-exact "
                              "XLA path)")
+    parser.add_argument("--project-action",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="evcharging only: --no-project-action benches "
+                             "the unprojected env (the fused simulation "
+                             "tier when --fused)")
     args = parser.parse_args()
 
     if args.measure_reference:
@@ -314,7 +336,8 @@ def main() -> None:
         batch = args.batch or SUITE_BATCH.get(env_name, 131072)
         result = _bench_one(env_name, batch, args.steps, args.fused,
                             profile_dir=args.profile,
-                            repeats=2 if args.env == "all" else 3)
+                            repeats=2 if args.env == "all" else 3,
+                            project_action=args.project_action)
         print(json.dumps(result), flush=True)
     if args.env == "all":
         # learner-side line: the fused PPO train step (rollout+GAE+update)

@@ -341,6 +341,21 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         return new_state, ts
 
     # ---- lockstep fast path ----------------------------------------------
+    @staticmethod
+    def _autoreset_days(params: EVParams, key_env: jax.Array, batch: int
+                        ) -> jax.Array:
+        """Boundary-step reset days, bit-identical to what the generic
+        ``core.autoreset_step`` path draws: the step's env key splits into
+        per-env keys, each env's key splits into (step, reset), and
+        ``reset`` maps its key to a uniform day. Shared by
+        :meth:`batch_unroll` and :meth:`fused_rollout` so the two fast
+        paths cannot drift apart from the documented PRNG-parity
+        contract."""
+        bkeys = jax.random.split(key_env, batch)
+        reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(bkeys)
+        return jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, params.n_days))(reset_keys)
+
     def batch_unroll(self, params: EVParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int,
                      prefetch: int = 48) -> TimeStep:
@@ -398,12 +413,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             if t_in_ep + seg == L:
                 # episode boundary: splice in the autoreset state/obs with
                 # exactly core.autoreset_step's key derivation
-                # (env key -> split -> reset key -> reset's day randint)
-                bkeys = jax.random.split(env_keys[-1], batch)
-                reset_keys = jax.vmap(
-                    lambda k: jax.random.split(k)[1])(bkeys)
-                days = jax.vmap(lambda k: jax.random.randint(
-                    k, (), 0, params.n_days))(reset_keys)
+                days = self._autoreset_days(params, env_keys[-1], batch)
                 state, ts_reset = jax.vmap(
                     self.reset_at_day, in_axes=(None, 0))(params, days)
                 obs = ts_reset.obs
@@ -447,15 +457,23 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         With prescribed ``actions`` ((num_steps, batch, n), driven by the
         parity tests) rewards/info match the XLA path to float tolerance.
 
-        Requires float32 params, batch % w == 0, and a TPU (or
-        ``interpret=True``); falls back to :meth:`batch_unroll` otherwise
-        when ``actions`` is None.
+        Requires float32 params, batch % w == 0, at most 8 network cones
+        (caltech; JPL's 9 exceed the kernel layout), and a TPU
+        (``interpret=True`` works only with prescribed ``actions`` — the
+        on-core PRNG has no interpret lowering); falls back to
+        :meth:`batch_unroll` otherwise when ``actions`` is None.
         """
         on_tpu = jax.devices()[0].platform == "tpu"
         dtype_ok = params.moer.dtype == jnp.float32
         proj_ok = not params.project_action or force_kernel or interpret
-        if not (batch % w == 0 and dtype_ok and proj_ok
-                and (on_tpu or interpret)):
+        # kernel layout holds at most 8 cones (16 interleaved rows) —
+        # caltech has 8; JPL's 9 fall back to the XLA path
+        cones_ok = int(params.proj.C.shape[0]) <= 16
+        # the RNG path needs the on-core PRNG, which has no interpret-mode
+        # lowering: interpret runs require prescribed actions
+        platform_ok = on_tpu or (interpret and actions is not None)
+        if not (batch % w == 0 and dtype_ok and proj_ok and cones_ok
+                and platform_ok):
             if actions is not None:
                 raise ValueError("fused_rollout with explicit actions "
                                  "requires a supported config")
@@ -543,11 +561,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             if seg == L:
                 # autoreset day resampling, same derivation as batch_unroll
                 _, key_env = jax.random.split(keys[t0 + seg - 1])
-                bkeys = jax.random.split(key_env, batch)
-                reset_keys = jax.vmap(
-                    lambda k: jax.random.split(k)[1])(bkeys)
-                days = jax.vmap(lambda k: jax.random.randint(
-                    k, (), 0, params.n_days))(reset_keys)
+                days = self._autoreset_days(params, key_env, batch)
             t0 += seg
             seg_idx += 1
 

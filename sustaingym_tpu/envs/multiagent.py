@@ -325,6 +325,10 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
 def make_ma_ev_params(periods_delay: int = 0, discrete_bins: int = 0,
                       **kwargs) -> MAEVParams:
     from .evcharging import make_params
+    if discrete_bins == 1:
+        # a/(bins-1) would divide by zero and silently flood the env with
+        # NaNs; 1 bin means "no action choice" and is never meaningful
+        raise ValueError("discrete_bins must be 0 (continuous) or >= 2")
     return MAEVParams(base=make_params(**kwargs),
                       periods_delay=periods_delay,
                       discrete_bins=discrete_bins)

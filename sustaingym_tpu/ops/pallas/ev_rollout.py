@@ -287,9 +287,9 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=nb * steps * w * (iters * 3 * 2 * _SROWS * _SROWS
-                                    if project else 0
-                                    + 2 * _CROWS * _SROWS + 200),
+            flops=nb * steps * w * (
+                (iters * 3 * 2 * _SROWS * _SROWS if project else 0)
+                + 2 * _CROWS * _SROWS + 200),
             transcendentals=nb * steps * w * (iters + 2),
             bytes_accessed=nb * steps * w * 4 * (_WX_ROWS + _OUT_ROWS)),
         interpret=interpret,

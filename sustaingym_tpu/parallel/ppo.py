@@ -225,6 +225,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             raise ValueError(
                 f"categorical PPO needs uniform bins, got nvec={nvec}")
         n_bins = int(nvec.flat[0])
+        if n_bins < 2:
+            raise ValueError(f"categorical PPO needs >= 2 bins, got {n_bins}")
     elif act_transform is None and not pap:
         act_transform = default_act_transform(env, env_params)
     # policy head width: logits for discrete, mu for continuous

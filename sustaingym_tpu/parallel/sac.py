@@ -139,6 +139,11 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
     obs_fn = obs_fn or flat_obs_fn(env, env_params)
 
     space = env.action_space(env_params)
+    if not hasattr(space, "low"):
+        raise ValueError(
+            f"{env.name}: SAC needs a continuous (Box) action space, got "
+            f"{type(space).__name__} — discrete/discretized envs train "
+            "with the PPO categorical head (--algo ppo)")
     act_dim = int(space.shape[-1]) if ma else int(np.prod(space.shape))
     low = jnp.asarray(space.low, jnp.float32)
     high = jnp.asarray(space.high, jnp.float32)
