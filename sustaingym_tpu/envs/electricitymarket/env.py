@@ -107,6 +107,10 @@ def make_params(month: str = "2021-05",
                 lp_iters: int = 200,
                 intermediate_rewards: bool = True,
                 moer_ba: str = "SGIP_CAISO_PGE",
+                # bf16 matmul inputs (f32 accumulation) for the PDHG matvecs:
+                # 2x the MXU rate; clearing-price error vs the f32 solve is
+                # well under the solver's own tolerance (test_lp_bf16_prices)
+                lp_bf16: bool = True,
                 dtype=jnp.float32) -> MarketParams:
     from ...data.ev_etl import build_moer_pack
 
@@ -119,8 +123,12 @@ def make_params(month: str = "2021-05",
 
     net = build_network()
     mats = build_sced_matrices(net, horizon)
-    op = lp.make_lp_operator(mats["A"], mats["G"], iters=lp_iters,
-                             dtype=dtype)
+    # flow + energy limits are all +/- pairs of the S block: the paired-row
+    # form halves the PDHG matmul rows vs stacking [S; -S] (ops/lp.py)
+    op = lp.make_lp_operator(
+        mats["A"], np.zeros((0, mats["A"].shape[1])), iters=lp_iters,
+        dtype=dtype, sym=mats["S"],
+        matmul_dtype=jnp.bfloat16 if lp_bf16 else None)
     load = _synthesize_load(n_days, m)
     # pad horizon steps with the head of the next day for lookahead
     pad = np.roll(load, -1, axis=0)[:, :horizon]
@@ -188,16 +196,19 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
                                       (state.t,), (k,))
         b = loads
 
-        # h rows follow build_sced_matrices order: per tau (+flows, -flows),
-        # then per tau (energy-upper, energy-lower)
-        flow_h = []
+        # h follows the paired-operator ordering [h_plus(ms), h_minus(ms)]
+        # with S rows = per-tau flow blocks then per-tau energy rows
+        # (build_sced_matrices): +S x <= h_plus, -S x <= h_minus
+        flow_p = []
+        flow_m = []
         for tau in range(k):
             base = params.load_sf * loads[tau]
-            flow_h.append(params.line_rating + base)
-            flow_h.append(params.line_rating - base)
+            flow_p.append(params.line_rating + base)
+            flow_m.append(params.line_rating - base)
         e_room = BATTERY_CAPACITY_MWH - state.energy
-        energy_h = jnp.stack([e_room, state.energy])
-        h = jnp.concatenate(flow_h + [jnp.tile(energy_h, k)])
+        h = jnp.concatenate(
+            flow_p + [jnp.broadcast_to(e_room, (k,))]
+            + flow_m + [jnp.broadcast_to(state.energy, (k,))])
 
         sol = lp.solve_lp(
             params.op, c, b, h, jnp.zeros_like(params.ub), params.ub,

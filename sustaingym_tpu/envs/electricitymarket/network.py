@@ -146,31 +146,38 @@ def build_sced_matrices(net: MarketNetwork, horizon: int
     bat_sf = net.ptdf[:, BATTERY_BUS - 1]          # (nl,)
     load_sf = net.ptdf @ net.load_dist             # (nl,)
 
-    rows = []
+    # line-flow limits are TWO-SIDED (|flow| <= rating): emit the flow rows
+    # once as the paired block S (ops/lp.py `sym`) so the PDHG matvec is
+    # shared between the +/- sides. Energy-envelope rows are also +/- pairs
+    # of the same cumulative-energy row, so they join S too; G_rest is empty.
+    sym_rows = []
     for tau in range(k):
-        for sign in (+1.0, -1.0):
-            blk = np.zeros((nl, n))
-            blk[:, tau * ng:(tau + 1) * ng] = sign * gen_sf
-            blk[:, idd + tau] = sign * bat_sf
-            blk[:, ic + tau] = -sign * bat_sf
-            rows.append(blk)
-    # battery energy: for each tau, +/- cumulative energy
+        blk = np.zeros((nl, n))
+        blk[:, tau * ng:(tau + 1) * ng] = gen_sf
+        blk[:, idd + tau] = bat_sf
+        blk[:, ic + tau] = -bat_sf
+        sym_rows.append(blk)
+    # battery energy: for each tau, the cumulative-energy row e_tau with
+    #   +e_tau <= E - e0   and   -e_tau <= e0
     tau_h = 1.0 / 12.0  # 5 minutes in hours
     eta = BATTERY_EFFICIENCY
     for tau in range(k):
         row = np.zeros((1, n))
         row[0, ic:ic + tau + 1] = eta * tau_h          # charging adds
         row[0, idd:idd + tau + 1] = -tau_h / eta       # discharging drains
-        rows.append(row)      # <=  E - e0
-        rows.append(-row)     # <=  e0
-    G = np.vstack(rows)
+        sym_rows.append(row)
+    S = np.vstack(sym_rows)
+
+    # fully stacked one-sided form [S; -S] kept for oracle solvers
+    # (tests vs scipy HiGHS) and any consumer of the plain LP structure
+    G = np.vstack([S, -S])
 
     ub = np.concatenate([
         np.tile(net.gen_pmax, k),
         np.full(2 * k, BATTERY_POWER_MW)])
 
     return {
-        "A": A, "G": G, "ub": ub,
+        "A": A, "S": S, "G": G, "ub": ub,
         "gen_sf": gen_sf, "bat_sf": bat_sf, "load_sf": load_sf,
         "n": n, "ic": ic, "id": idd,
     }

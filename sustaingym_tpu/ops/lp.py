@@ -12,17 +12,31 @@ thousands of market instances clear in lockstep on the MXU
 Problem form:
     minimize    c' x
     subject to  A x = b          (duals y -> prices)
-                G x <= h         (duals z >= 0)
+                S x <= h_p  and  -S x <= h_m   (paired rows, optional)
+                G x <= h_rest    (duals z >= 0)
                 lb <= x <= ub
 
 Iteration (with over-relaxation \bar{x} and diagonal step sizes):
-    x+ = clip(x - tau * (c + A' y + G' z), lb, ub)
+    x+ = clip(x - tau * (c + A' y + S'(z_p - z_m) + G' z), lb, ub)
     y+ = y + sigma_A * (A (2 x+ - x) - b)
-    z+ = max(0, z + sigma_G * (G (2 x+ - x) - h))
+    z+ = max(0, z + sigma * (rows (2 x+ - x) - h))
+
+The paired block exists because SCED line-flow limits are two-sided:
+|PTDF x| <= rating contributes rows +S and -S. Solving the stacked form
+computes S x twice per iteration; here the matvec is shared, which removes
+~half the rows from the (batch, rows) x (rows, n) MXU matmuls — the
+dominant cost of the whole market env (measured compute-bound at the f32
+MXU rate). Mathematically the iterates are those of plain PDHG on the
+stacked matrix [A; S; -S; G] up to float reassociation (same
+preconditioner, same step sizes — |−S| = |S| row/col sums).
+
+``matmul_dtype=jnp.bfloat16`` additionally runs the two big matmuls with
+bf16 inputs and f32 accumulation (2x MXU rate); iterates/duals stay f32.
+Validated against scipy HiGHS duals in tests/test_electricitymarket.py.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,42 +49,74 @@ __all__ = ["LPOperator", "make_lp_operator", "solve_lp", "LPSolution"]
 
 @dataclass
 class LPOperator:
-    """Static problem structure with host-precomputed step sizes."""
-    A: jax.Array        # (me, n)
-    G: jax.Array        # (mi, n)
+    """Static problem structure with host-precomputed step sizes.
+
+    The [A; S; G] blocks are kept SEPARATE (not stacked) and the iteration
+    runs one matmul per non-empty block: on TPU, in-loop
+    concatenate/slice of the dual vector forces layout changes that both
+    compile pathologically and run orders of magnitude slower than the
+    clean per-block matmuls (measured: 503s compile / 400x slower).
+    """
+    A: jax.Array        # (me, n) equality rows
+    S: jax.Array        # (ms, n) paired block: +/- S x <= (h_p, h_m)
+    G: jax.Array        # (mg, n) residual one-sided rows
     tau: jax.Array      # (n,) primal step
     sigma_a: jax.Array  # (me,) dual step (equalities)
-    sigma_g: jax.Array  # (mi,) dual step (inequalities)
+    sigma_s: jax.Array  # (ms,) dual step (paired rows; same for +/-)
+    sigma_g: jax.Array  # (mg,) dual step (residual rows)
     n: int = static_field()
     me: int = static_field()
-    mi: int = static_field()
+    ms: int = static_field(default=0)   # paired rows (each yields +/-)
+    mg: int = static_field(default=0)   # residual one-sided rows
     iters: int = static_field(default=400)
+    # None -> f32 matmuls; jnp.bfloat16 -> bf16 inputs, f32 accumulation
+    matmul_dtype: Any = static_field(default=None)
+
+    @property
+    def mi(self) -> int:
+        """Total inequality-dual length: [z_plus(ms), z_minus(ms), z(mg)]."""
+        return 2 * self.ms + self.mg
 
 
 class LPSolution(NamedTuple):
     x: jax.Array   # primal
     y: jax.Array   # equality duals (prices)
-    z: jax.Array   # inequality duals
+    z: jax.Array   # inequality duals, ordered [z_plus(ms), z_minus(ms), z(mg)]
 
 
 def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
-                     dtype=jnp.float32) -> LPOperator:
+                     dtype=jnp.float32, sym: np.ndarray | None = None,
+                     matmul_dtype=None) -> LPOperator:
     """Builds the operator with diagonal (Pock-Chambolle) preconditioning:
-    tau_j = 1 / sum_i |K_ij|, sigma_i = 1 / sum_j |K_ij|."""
+    tau_j = 1 / sum_i |K_ij|, sigma_i = 1 / sum_j |K_ij|.
+
+    ``sym`` (ms, n), if given, adds the two-sided rows ±sym x <= (h_p, h_m);
+    ``G`` keeps only the residual one-sided rows. The preconditioner is
+    computed over the fully stacked K = [A; sym; -sym; G], so the iterates
+    match plain PDHG on that stacked system.
+    """
     A = np.atleast_2d(np.asarray(A, np.float64))
     G = np.atleast_2d(np.asarray(G, np.float64))
-    K = np.vstack([A, G])
+    if G.size == 0:
+        G = G.reshape(0, A.shape[1])
+    S = (np.zeros((0, A.shape[1])) if sym is None
+         else np.atleast_2d(np.asarray(sym, np.float64)))
+    K = np.vstack([A, S, -S, G])
     col = np.abs(K).sum(axis=0)
     tau = 1.0 / np.maximum(col, 1e-6)
-    row_a = np.abs(A).sum(axis=1)
-    row_g = np.abs(G).sum(axis=1)
-    sigma_a = 1.0 / np.maximum(row_a, 1e-6)
-    sigma_g = 1.0 / np.maximum(row_g, 1e-6)
+
+    def row_sigma(Mat):
+        return 1.0 / np.maximum(np.abs(Mat).sum(axis=1), 1e-6)
+
     return LPOperator(
-        A=jnp.asarray(A, dtype), G=jnp.asarray(G, dtype),
-        tau=jnp.asarray(tau, dtype), sigma_a=jnp.asarray(sigma_a, dtype),
-        sigma_g=jnp.asarray(sigma_g, dtype),
-        n=A.shape[1], me=A.shape[0], mi=G.shape[0], iters=int(iters))
+        A=jnp.asarray(A, dtype), S=jnp.asarray(S, dtype),
+        G=jnp.asarray(G, dtype),
+        tau=jnp.asarray(tau, dtype),
+        sigma_a=jnp.asarray(row_sigma(A), dtype),
+        sigma_s=jnp.asarray(row_sigma(S), dtype),
+        sigma_g=jnp.asarray(row_sigma(G), dtype),
+        n=A.shape[1], me=A.shape[0], ms=S.shape[0], mg=G.shape[0],
+        iters=int(iters), matmul_dtype=matmul_dtype)
 
 
 def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
@@ -78,11 +124,15 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
              init: LPSolution | None = None) -> LPSolution:
     """Solves one LP (or a batch: all args broadcast over leading dims).
 
+    ``h`` is ordered [h_plus(ms), h_minus(ms), h_rest(mg)] when the operator
+    has a paired block; the returned ``z`` follows the same ordering.
+
     ``init`` warm-starts the primal/dual iterates — for sequences of
     slowly-varying problems (receding-horizon SCED: each 5-min step shifts
     the horizon one interval) this cuts the iterations needed for a given
     tolerance several-fold.
     """
+    me, ms, mg = op.me, op.ms, op.mg
     if init is None:
         x = jnp.clip(jnp.zeros_like(c), lb, ub)
         y = jnp.zeros_like(b)
@@ -92,14 +142,45 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
         y = init.y
         z = jnp.maximum(init.z, 0.0)
 
+    h_p = h[..., :ms]
+    h_m = h[..., ms:2 * ms]
+    h_g = h[..., 2 * ms:]
+    mm = op.matmul_dtype
+
+    def matmul(u, mat):
+        if mm is None:
+            return u @ mat
+        return jax.lax.dot_general(
+            u.astype(mm), mat.astype(mm),
+            (((u.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # the dual blocks stay SEPARATE carry elements with one matmul each:
+    # assembling them with in-loop concatenate/slice forces TPU layout
+    # changes that compile pathologically and run far off the MXU rate
     def body(_, carry):
-        x, y, z = carry
-        grad = c + y @ op.A + z @ op.G
+        x, y, zp, zm, zg = carry
+        grad = c
+        if me:
+            grad = grad + matmul(y, op.A)
+        if ms:
+            grad = grad + matmul(zp - zm, op.S)
+        if mg:
+            grad = grad + matmul(zg, op.G)
         x_new = jnp.clip(x - op.tau * grad, lb, ub)
         x_bar = 2.0 * x_new - x
-        y = y + op.sigma_a * (x_bar @ op.A.T - b)
-        z = jnp.maximum(0.0, z + op.sigma_g * (x_bar @ op.G.T - h))
-        return (x_new, y, z)
+        if me:
+            y = y + op.sigma_a * (matmul(x_bar, op.A.T) - b)
+        if ms:
+            s = matmul(x_bar, op.S.T)       # shared +/- matvec
+            zp = jnp.maximum(0.0, zp + op.sigma_s * (s - h_p))
+            zm = jnp.maximum(0.0, zm + op.sigma_s * (-s - h_m))
+        if mg:
+            zg = jnp.maximum(0.0, zg + op.sigma_g * (matmul(x_bar, op.G.T)
+                                                     - h_g))
+        return (x_new, y, zp, zm, zg)
 
-    x, y, z = jax.lax.fori_loop(0, op.iters, body, (x, y, z))
-    return LPSolution(x=x, y=y, z=z)
+    carry0 = (x, y, z[..., :ms], z[..., ms:2 * ms], z[..., 2 * ms:])
+    x, y, zp, zm, zg = jax.lax.fori_loop(0, op.iters, body, carry0)
+    return LPSolution(x=x, y=y,
+                      z=jnp.concatenate([zp, zm, zg], axis=-1))

@@ -72,14 +72,17 @@ def test_sced_clearing_vs_scipy(env_and_params):
                         -np.full(k, 5.0), np.full(k, 500.0)])
     loads = np.asarray(params.load)[0, :k]
     b = loads
-    h_parts = []
+    # mats["G"] = [S; -S]: all h_plus rows (per-tau flows, then per-tau
+    # energy headroom), then all h_minus rows
+    h_p, h_m = [], []
     for tau in range(k):
         base = np.asarray(params.load_sf) * loads[tau]
-        h_parts.append(np.asarray(params.line_rating) + base)
-        h_parts.append(np.asarray(params.line_rating) - base)
+        h_p.append(np.asarray(params.line_rating) + base)
+        h_m.append(np.asarray(params.line_rating) - base)
     e0 = float(state.energy)
-    h_parts.append(np.tile([BATTERY_CAPACITY_MWH - e0, e0], k))
-    h = np.concatenate(h_parts)
+    h_p.append(np.full(k, BATTERY_CAPACITY_MWH - e0))
+    h_m.append(np.full(k, e0))
+    h = np.concatenate(h_p + h_m)
     res = _scipy_reference(mats["A"], mats["G"], c, b, h, mats["ub"])
 
     price_scipy = res.eqlin.marginals[0]  # df/db = marginal cost of load
@@ -154,3 +157,66 @@ def test_vmap_batch(env_and_params):
                          jax.random.PRNGKey(0), batch, steps)
     assert traj.reward.shape == (steps, batch)
     assert np.all(np.isfinite(np.asarray(traj.reward)))
+
+
+def test_lp_sym_matches_stacked():
+    """The paired-row operator is plain PDHG on the stacked [A; S; -S; G]
+    system (same preconditioner, same step sizes) — iterates must agree to
+    float-reassociation tolerance."""
+    rng = np.random.default_rng(1)
+    n, me, ms, mg = 16, 2, 5, 3
+    A = rng.normal(size=(me, n))
+    S = rng.normal(size=(ms, n))
+    G = rng.normal(size=(mg, n))
+    c = rng.uniform(0.5, 2.0, n)
+    x_feas = rng.uniform(0.2, 0.8, n)
+    b = A @ x_feas
+    h_p = S @ x_feas + rng.uniform(0.1, 1.0, ms)
+    h_m = -S @ x_feas + rng.uniform(0.1, 1.0, ms)
+    h_g = G @ x_feas + rng.uniform(0.1, 1.0, mg)
+    ub = np.ones(n)
+
+    op_sym = lp.make_lp_operator(A, G, iters=3000, dtype=jnp.float64, sym=S)
+    h_sym = np.concatenate([h_p, h_m, h_g])
+    sol_sym = lp.solve_lp(op_sym, jnp.asarray(c), jnp.asarray(b),
+                          jnp.asarray(h_sym), jnp.zeros(n), jnp.asarray(ub))
+
+    G_stacked = np.vstack([S, -S, G])
+    h_stacked = np.concatenate([h_p, h_m, h_g])
+    op_plain = lp.make_lp_operator(A, G_stacked, iters=3000,
+                                   dtype=jnp.float64)
+    sol_plain = lp.solve_lp(op_plain, jnp.asarray(c), jnp.asarray(b),
+                            jnp.asarray(h_stacked), jnp.zeros(n),
+                            jnp.asarray(ub))
+
+    np.testing.assert_allclose(np.asarray(sol_sym.x),
+                               np.asarray(sol_plain.x), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_sym.y),
+                               np.asarray(sol_plain.y), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_sym.z),
+                               np.asarray(sol_plain.z), rtol=1e-8, atol=1e-8)
+
+
+def test_lp_bf16_prices():
+    """bf16-matmul PDHG (params default) must track the f32 solve's clearing
+    prices well inside the solver's own iteration tolerance (~$0.23/MWh,
+    make_params docstring) over a warm-started episode prefix."""
+    steps = 48
+    prices = {}
+    for bf16 in (False, True):
+        env, params = em.make_env(month="2021-05", horizon=4, lp_iters=200,
+                                  lp_bf16=bf16)
+        state, _ = env.reset_at_day(params, 0)
+
+        def run(state):
+            def body(state, t):
+                a = jnp.concatenate([jnp.full(4, 20.0), jnp.full(4, 60.0)])
+                state, ts = env.step(params, state, a,
+                                     jax.random.PRNGKey(0))
+                return state, ts.info["price"]
+            return jax.lax.scan(body, state, jnp.arange(steps))[1]
+
+        prices[bf16] = np.asarray(jax.jit(run)(state))
+    err = np.abs(prices[True] - prices[False])
+    assert err.mean() < 0.25, (err.mean(), err.max())
+    assert err.max() < 2.0, (err.mean(), err.max())
