@@ -98,7 +98,8 @@ def make_params(site: str = "caltech",
                 moer_forecast_steps: int = 36,
                 project_action: bool = True,
                 requested_energy_cap: float = 100.0,
-                proj_iters: int = 30,
+                proj_method: str = "dual",
+                proj_iters: int | None = None,
                 trace: str = "real",
                 gmm_days: int = 200,
                 gmm_components: int = 30,
@@ -106,7 +107,15 @@ def make_params(site: str = "caltech",
     """``trace='real'`` compiles the packaged ACN sessions
     (RealTraceGenerator analogue); ``trace='gmm'`` samples a bank of
     artificial days from the packaged GMMs (GMMsTraceGenerator analogue,
-    event_generation.py:331-515)."""
+    event_generation.py:331-515).
+
+    ``proj_method`` selects the feasibility-projection kernel:
+    ``'dual'`` (default) is preconditioned dual-FISTA — ~4x fewer
+    flops/iteration than ADMM, robust at TPU DEFAULT (bf16) matmul
+    precision, and more accurate vs the exact (MOSEK-equivalent)
+    projection; ``'admm'`` is the legacy over-relaxed ADMM operator
+    (float32-pinned matmuls), kept for the fused-kernel parity path.
+    ``proj_iters`` defaults per method (20 dual / 30 admm)."""
     from ...data.ev_etl import build_moer_pack, build_trace_pack
     spec: SiteSpec = load_site(site)
     moer = build_moer_pack(date_period)
@@ -124,9 +133,18 @@ def make_params(site: str = "caltech",
                                   requested_energy_cap=requested_energy_cap)
     phase = np.exp(1j * np.deg2rad(spec.phase_angles))
     a_tilde = spec.constraint_matrix * phase[None, :]
-    proj = qp.make_soc_projection(
-        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
-        action_scale=ACTION_SCALE_FACTOR, iters=proj_iters, dtype=dtype)
+    if proj_method == "dual":
+        proj = qp.make_dual_soc_projection(
+            spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+            action_scale=ACTION_SCALE_FACTOR,
+            iters=20 if proj_iters is None else proj_iters, dtype=dtype)
+    elif proj_method == "admm":
+        proj = qp.make_soc_projection(
+            spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+            action_scale=ACTION_SCALE_FACTOR,
+            iters=30 if proj_iters is None else proj_iters, dtype=dtype)
+    else:
+        raise ValueError(f"unknown proj_method {proj_method!r}")
 
     # compile event grids + per-day info on host
     ev = traces["ev_data"]
@@ -465,7 +483,11 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         """
         on_tpu = jax.devices()[0].platform == "tpu"
         dtype_ok = params.moer.dtype == jnp.float32
-        proj_ok = not params.project_action or force_kernel or interpret
+        # the in-kernel projection implements the ADMM operator only; dual
+        # (FISTA) configs route to the XLA path
+        admm = isinstance(params.proj, qp.SOCProjection)
+        proj_ok = not params.project_action or (
+            admm and (force_kernel or interpret))
         # kernel layout holds at most 8 cones (16 interleaved rows) —
         # caltech has 8; JPL's 9 fall back to the XLA path
         cones_ok = int(params.proj.C.shape[0]) <= 16
@@ -508,8 +530,8 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         keys = jax.random.split(key_scan, num_steps)
 
         iters = int(params.proj.iters)
-        rho = float(params.proj.rho)
-        alpha = float(params.proj.alpha)
+        rho = float(params.proj.rho) if admm else 0.0
+        alpha = float(params.proj.alpha) if admm else 0.0
 
         parts = []
         t0 = 0

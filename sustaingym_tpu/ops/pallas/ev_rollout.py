@@ -97,10 +97,15 @@ def build_ev_operators(params, w: int = 128):
     m2 = int(proj.C.shape[0])
     assert m2 <= _CROWS, m2
 
+    # K/rho exist only on the ADMM operator; the dual (FISTA) operator is
+    # not implemented in-kernel, so projected dual configs never reach this
+    # path (env.fused_rollout guards) and the zero K/CT blocks are unused
+    admm = hasattr(proj, "K")
     k_op = np.zeros((_SROWS, _SROWS), np.float32)
-    k_op[:n, :n] = np.asarray(proj.K)
     ct_op = np.zeros((_SROWS, _SROWS), np.float32)
-    ct_op[:n, :m2] = float(proj.rho) * np.asarray(proj.C).T
+    if admm:
+        k_op[:n, :n] = np.asarray(proj.K)
+        ct_op[:n, :m2] = float(proj.rho) * np.asarray(proj.C).T
     c_op = np.zeros((_CROWS, _SROWS), np.float32)
     c_op[:m2, :n] = np.asarray(proj.C)
 

@@ -101,6 +101,129 @@ def test_qp_projection_batched():
     np.testing.assert_allclose(xb[0], x0, atol=3e-5)
 
 
+def _f64_ground_truth(C, radii, A, UB, iters=8000, rho=2.0, alpha=1.7):
+    """float64 numpy ADMM at a huge iteration budget — verified to match
+    scipy SLSQP to 1e-6 on this geometry (tools/proj_gt_check.py)."""
+    n = C.shape[1]
+    K = np.linalg.inv((1.0 + rho) * np.eye(n) + rho * (C.T @ C))
+    x = np.clip(A, 0, UB)
+    z0 = x.copy()
+    u0 = np.zeros_like(x)
+    zc = x @ C.T
+    uc = np.zeros_like(zc)
+    for _ in range(iters):
+        rhs = A + rho * (z0 - u0) + rho * ((zc - uc) @ C)
+        x = rhs @ K.T
+        cx = x @ C.T
+        xh = alpha * x + (1 - alpha) * z0
+        cxh = alpha * cx + (1 - alpha) * zc
+        z0 = np.clip(xh + u0, 0, UB)
+        v = (cxh + uc).reshape(len(A), -1, 2)
+        nr = np.sqrt((v ** 2).sum(-1) + 1e-12)
+        sc = np.minimum(1.0, radii / nr)
+        zc = (v * sc[..., None]).reshape(len(A), -1)
+        u0 = u0 + xh - z0
+        uc = uc + cxh - zc
+    return np.clip(x, 0, UB)
+
+
+def test_dual_projection_batched_accuracy():
+    """BATCHED dual-FISTA projection vs float64 ground truth at realistic
+    (a, ub) (30% unplugged stations). This is the regression the ADMM
+    operator failed at TPU DEFAULT matmul precision: batched matmuls ran
+    as bf16 MXU passes and the ADMM dual accumulators integrated the noise
+    to ~0.9 max error while staying feasible (round-3 finding,
+    tools/proj_experiment.py). The dual method is a descent scheme on a
+    16-dim dual and stays ~7e-3-accurate even at bf16 matmul precision."""
+    spec = evcharging.caltech_site()
+    op = qp.make_dual_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        iters=20)
+    C = np.asarray(op.C, np.float64)
+    radii = np.asarray(op.radii, np.float64)
+    n = spec.num_stations
+    rng = np.random.default_rng(3)
+    B = 32
+    A = rng.uniform(0, 1, (B, n))
+    UB = np.minimum(1.0, rng.uniform(0, 2, (B, n)))
+    UB[rng.uniform(size=UB.shape) < 0.3] = 0.0
+    xs = _f64_ground_truth(C, radii, A, UB)
+    x = np.asarray(qp.project(op, jnp.asarray(A, jnp.float32),
+                              jnp.asarray(UB, jnp.float32)), np.float64)
+    assert np.abs(x - xs).max() < 0.03
+    # box feasibility is exact by construction
+    assert np.all(x >= 0) and np.all(x <= UB + 1e-6)
+
+
+def test_dual_projection_stress_battery():
+    """Adversarial (a, ub) battery at the production step_scale=2.0
+    overstep: corners, tiny bounds, sparse plug sets. Guards the overstep
+    against divergence (step_scale=3.0 measured to 2-cycle on exactly this
+    battery — the 2.0 default is only valid because this test pins it)."""
+    rng = np.random.default_rng(42)
+    for site in ("caltech", "jpl"):
+        spec = (evcharging.caltech_site() if site == "caltech"
+                else evcharging.jpl_site())
+        op = qp.make_dual_soc_projection(
+            spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+            iters=20)
+        C = np.asarray(op.C, np.float64)
+        radii = np.asarray(op.radii, np.float64)
+        n = spec.num_stations
+        a_sp = np.ones((16, n))
+        ub_sp = np.zeros((16, n))
+        for i in range(16):
+            idx = rng.choice(n, size=rng.integers(1, n), replace=False)
+            ub_sp[i, idx] = 1.0
+        A = np.concatenate([np.ones((1, n)), np.ones((1, n)), a_sp])
+        UB = np.concatenate([np.ones((1, n)), np.full((1, n), 0.03), ub_sp])
+        xs = _f64_ground_truth(C, radii, A, UB, iters=20000)
+        x = np.asarray(qp.project(op, jnp.asarray(A, jnp.float32),
+                                  jnp.asarray(UB, jnp.float32)), np.float64)
+        assert np.abs(x - xs).max() < 0.03, site
+
+
+def test_dual_projection_spectral_scale_convergent():
+    """step_scale=None (exact spectral bound) is the provably-convergent
+    config: long-budget run must reach the ground truth tightly."""
+    spec = evcharging.caltech_site()
+    op = qp.make_dual_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        iters=400, step_scale=None)
+    C = np.asarray(op.C, np.float64)
+    radii = np.asarray(op.radii, np.float64)
+    n = spec.num_stations
+    rng = np.random.default_rng(5)
+    A = rng.uniform(0, 1, (8, n))
+    UB = np.minimum(1.0, rng.uniform(0, 2, (8, n)))
+    xs = _f64_ground_truth(C, radii, A, UB)
+    x = np.asarray(qp.project(op, jnp.asarray(A, jnp.float32),
+                              jnp.asarray(UB, jnp.float32)), np.float64)
+    assert np.abs(x - xs).max() < 2e-3
+
+
+def test_dual_projection_identity_when_feasible():
+    spec = evcharging.caltech_site()
+    op = qp.make_dual_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes)
+    a = np.full(spec.num_stations, 0.02, np.float32)
+    ub = np.ones(spec.num_stations, np.float32)
+    x = np.asarray(qp.project(op, jnp.asarray(a), jnp.asarray(ub)))
+    np.testing.assert_allclose(x, a, atol=2e-3)
+
+
+def test_dual_projection_batched_matches_single():
+    spec = evcharging.caltech_site()
+    op = qp.make_dual_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes)
+    rng = np.random.default_rng(1)
+    A = rng.uniform(0, 1, (32, spec.num_stations)).astype(np.float32)
+    ub = np.ones_like(A)
+    xb = np.asarray(qp.project(op, jnp.asarray(A), jnp.asarray(ub)))
+    x0 = np.asarray(qp.project(op, jnp.asarray(A[0]), jnp.asarray(ub[0])))
+    np.testing.assert_allclose(xb[0], x0, atol=3e-5)
+
+
 # ---------------------------------------------------------------------------
 # pilot quantization & battery
 # ---------------------------------------------------------------------------

@@ -73,7 +73,8 @@ def test_fused_ev_rollout_matches_xla():
 
     env, params = evcharging.make_env(site="caltech",
                                       date_period="Summer 2021",
-                                      project_action=True, proj_iters=12)
+                                      project_action=True, proj_iters=12,
+                                      proj_method="admm")
     n = params.n_stations
     batch, steps, w = 128, 12, 128
     key = jax.random.PRNGKey(7)
