@@ -10,6 +10,19 @@ no reference code exists — registration commented out at
 - every 5-min step the market operator clears a multi-interval SCED
   (ops/lp.py PDHG kernel — batched, fixed iterations, prices = equality
   duals), producing the clearing price p_t and the agent dispatch x_t;
+  the cold first solve of an episode runs ``lp_iters`` PDHG iterations,
+  warm-started subsequent solves run ``lp_warm_iters`` (the previous
+  solution is a near-optimal initial iterate — each step only shifts the
+  SCED horizon one interval);
+- doc-wording note: the action-space text says bids cover "the next k+1
+  time steps" while the observation text and the forecast vectors use k
+  steps (l-hat_{t:t+k-1}); this implementation takes the consistent
+  reading — ``horizon`` = k bid pairs, k-step forecasts, a k-interval
+  SCED;
+- the doc's 3-action discretize wrapper ("charge, do nothing, or
+  discharge", docs/electricitymarketenv.md:18) is ``discrete=True``:
+  Discrete(3) actions mapped to extreme/zero bids (see
+  :data:`DISCRETE_BIDS`);
 - reward r(t) = p_t x_t + P_CO2 m_t x_t - c_T(t) (revenue + displaced
   carbon value - terminal state-of-charge penalty), with the doc's option
   to defer all reward to the terminal step;
@@ -39,6 +52,14 @@ TAU_H = 1.0 / 12.0
 P_CO2 = 30.85 / 1000.0     # $/kg CO2 (EV env carbon price, env.py:107)
 MAX_BID = 1000.0           # $/MWh cap on battery bids
 
+# 3-action discretization (charge / do nothing / discharge) as
+# (charge_bid, discharge_bid) pairs: charging is guaranteed economic at a
+# MAX_BID willingness-to-pay, discharging at a zero ask; MAX_BID asks and
+# zero willingness-to-pay switch the other leg off
+DISCRETE_BIDS = ((MAX_BID, MAX_BID),   # 0: charge
+                 (0.0, MAX_BID),       # 1: do nothing
+                 (0.0, 0.0))           # 2: discharge
+
 
 @dataclass
 class MarketParams:
@@ -51,6 +72,12 @@ class MarketParams:
     # data
     load: jax.Array         # (n_days, 289 + k) MW system load (padded)
     moer: jax.Array         # (n_days, 289, 37) kg CO2 / kWh
+    # warm-start shift permutations: each step moves the SCED horizon one
+    # interval, so the previous solution warm-starts best with its per-tau
+    # blocks shifted tau+1 -> tau (last block duplicated)
+    warm_perm_x: jax.Array  # (n,) int32
+    warm_perm_y: jax.Array  # (me,) int32
+    warm_perm_z: jax.Array  # (mi,) int32
     # statics
     n_gen: int = static_field()
     n_lines: int = static_field()
@@ -59,6 +86,10 @@ class MarketParams:
     ic: int = static_field()
     id: int = static_field()
     intermediate_rewards: bool = static_field(default=True)
+    # warm-started PDHG iteration budget (op.iters is the cold budget)
+    lp_warm_iters: int = static_field(default=100)
+    # 3-action mode (doc's discretize wrapper)
+    discrete: bool = static_field(default=False)
 
 
 @dataclass
@@ -70,6 +101,7 @@ class MarketState:
     prev_action: jax.Array  # (2k,)
     prev_dispatch: jax.Array
     prev_price: jax.Array
+    prev_load: jax.Array    # l_{t-1}: demand experienced last step (MW)
     cum_reward: jax.Array
     price_sum: jax.Array    # running sum for terminal penalty price
     # PDHG warm start carried between steps: consecutive SCEDs shift the
@@ -99,20 +131,35 @@ def _synthesize_load(n_days: int, month: int, seed: int = 7) -> np.ndarray:
 
 def make_params(month: str = "2021-05",
                 horizon: int = 4,
-                # 200 warm-started iterations track a 600-iteration solve
-                # within $0.23/MWh mean price error over an episode; the
-                # cold start (first step) is also fine — PDHG convergence is
+                # COLD iteration budget (step 0 of an episode). 200
+                # iterations track a 600-iteration solve within $0.23/MWh
+                # mean price error over an episode; PDHG convergence is
                 # non-monotone and 200 cold iters measured CLOSER to the
                 # 1500-iter price than 500 did ($0.01 vs $1.51 on day 3)
                 lp_iters: int = 200,
+                # WARM budget for every subsequent step: the previous
+                # step's solution warm-starts a horizon shifted by one
+                # 5-min interval, needing several-fold fewer iterations
+                # for the same accuracy (test_warm_iters_price_accuracy)
+                lp_warm_iters: int = 100,
                 intermediate_rewards: bool = True,
+                # doc's 3-action discretize wrapper: Discrete(3) actions
+                # charge / do nothing / discharge -> DISCRETE_BIDS
+                discrete: bool = False,
                 moer_ba: str = "SGIP_CAISO_PGE",
-                # bf16 matmul inputs (f32 accumulation) for the PDHG matvecs:
-                # 2x the MXU rate; clearing-price error vs the f32 solve is
-                # well under the solver's own tolerance (test_lp_bf16_prices)
-                lp_bf16: bool = True,
+                # bf16 matmul inputs (f32 accumulation) for the PDHG
+                # matvecs: 2x the MXU rate; clearing-price error vs the f32
+                # solve is well under the solver's own tolerance
+                # (test_lp_bf16_prices). None (default) resolves per
+                # backend: True on TPU (where the MXU rate doubles), False
+                # elsewhere (CPU users would pay the precision cost for no
+                # speedup — round-2 advisor finding)
+                lp_bf16: bool | None = None,
                 dtype=jnp.float32) -> MarketParams:
     from ...data.ev_etl import build_moer_pack
+
+    if lp_bf16 is None:
+        lp_bf16 = jax.default_backend() == "tpu"
 
     y, m = (int(s) for s in month.split("-"))
     first = dt.date(y, m, 1)
@@ -134,6 +181,20 @@ def make_params(month: str = "2021-05",
     pad = np.roll(load, -1, axis=0)[:, :horizon]
     load = np.concatenate([load, pad], axis=1)
 
+    # horizon-shift permutations (variable layout per build_sced_matrices:
+    # x = [g(n_gen) per tau | c(k) | d(k)], y = per-tau balance, z half =
+    # [per-tau flow blocks (nl each) | k energy rows])
+    k, ng, nl = horizon, net.n_gen, net.n_lines
+    nxt = np.minimum(np.arange(k) + 1, k - 1)
+    perm_x = np.concatenate([
+        (nxt[:, None] * ng + np.arange(ng)[None, :]).reshape(-1),
+        mats["ic"] + nxt, mats["id"] + nxt]).astype(np.int32)
+    perm_y = nxt.astype(np.int32)
+    half = np.concatenate([
+        (nxt[:, None] * nl + np.arange(nl)[None, :]).reshape(-1),
+        k * nl + nxt]).astype(np.int32)
+    perm_z = np.concatenate([half, half + op.ms]).astype(np.int32)
+
     return MarketParams(
         op=op,
         ub=jnp.asarray(mats["ub"], dtype),
@@ -142,9 +203,13 @@ def make_params(month: str = "2021-05",
         load_sf=jnp.asarray(mats["load_sf"], dtype),
         load=jnp.asarray(load, dtype),
         moer=jnp.asarray(moer, dtype),
+        warm_perm_x=jnp.asarray(perm_x),
+        warm_perm_y=jnp.asarray(perm_y),
+        warm_perm_z=jnp.asarray(perm_z),
         n_gen=net.n_gen, n_lines=net.n_lines, horizon=horizon,
         n_days=n_days, ic=mats["ic"], id=mats["id"],
         intermediate_rewards=intermediate_rewards,
+        lp_warm_iters=int(lp_warm_iters), discrete=bool(discrete),
     )
 
 
@@ -171,6 +236,7 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             prev_action=jnp.zeros(2 * k, dtype),
             prev_dispatch=jnp.zeros((), dtype),
             prev_price=jnp.zeros((), dtype),
+            prev_load=jnp.zeros((), dtype),
             cum_reward=jnp.zeros((), dtype),
             price_sum=jnp.zeros((), dtype),
             warm_x=jnp.zeros(params.op.n, dtype),
@@ -210,22 +276,39 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             flow_p + [jnp.broadcast_to(e_room, (k,))]
             + flow_m + [jnp.broadcast_to(state.energy, (k,))])
 
+        # cold budget on the episode's first solve, warm budget after (the
+        # carried solution is a near-optimal iterate once the horizon has
+        # only shifted one interval); traced trip count -> while lowering
+        iters = jnp.where(state.t == 0, params.op.iters,
+                          params.lp_warm_iters)
         sol = lp.solve_lp(
             params.op, c, b, h, jnp.zeros_like(params.ub), params.ub,
-            init=lp.LPSolution(x=state.warm_x, y=state.warm_y,
-                               z=state.warm_z))
+            # shift the carried solution one interval to align with the
+            # moved horizon (zeros at t=0, so the cold start is unchanged)
+            init=lp.LPSolution(x=state.warm_x[params.warm_perm_x],
+                               y=state.warm_y[params.warm_perm_y],
+                               z=state.warm_z[params.warm_perm_z]),
+            iters=iters)
         price = -sol.y[0]
         charge = sol.x[params.ic]
         discharge = sol.x[params.id]
         return {"price": price, "charge": charge, "discharge": discharge,
-                "gen_dispatch": sol.x[:params.n_gen], "sol": sol}
+                "gen_dispatch": sol.x[:params.n_gen], "sol": sol,
+                "load": loads[0]}
 
     def step(self, params: MarketParams, state: MarketState,
              action: jax.Array, key: jax.Array
              ) -> tuple[MarketState, TimeStep]:
         del key
         dtype = params.load.dtype
-        action = jnp.clip(jnp.asarray(action, dtype), 0.0, MAX_BID)
+        if params.discrete:
+            # doc's 3-action wrapper: 0=charge / 1=idle / 2=discharge
+            idx = jnp.asarray(action, jnp.int32).reshape(())
+            table = jnp.asarray(DISCRETE_BIDS, dtype)  # (3, 2)
+            k = params.horizon
+            action = jnp.repeat(table[idx], k)         # (2k,) bids
+        else:
+            action = jnp.clip(jnp.asarray(action, dtype), 0.0, MAX_BID)
 
         cleared = self.clear_market(params, state, action)
         price = cleared["price"]
@@ -264,7 +347,8 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         new_state = MarketState(
             day=state.day, t=t_next, energy=energy, energy0=state.energy0,
             prev_action=action, prev_dispatch=dispatch_mwh,
-            prev_price=price, cum_reward=cum, price_sum=price_sum,
+            prev_price=price, prev_load=cleared["load"],
+            cum_reward=cum, price_sum=price_sum,
             warm_x=sol.x, warm_y=sol.y, warm_z=sol.z)
         ts = TimeStep(
             obs=self._obs(params, new_state),
@@ -295,6 +379,7 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             "prev_action": state.prev_action,
             "prev_dispatch": state.prev_dispatch[None],
             "prev_price": state.prev_price[None],
+            "prev_load": state.prev_load[None],
             "load_forecast": load_fc,
             "prev_moer": moer_row[0][None],
             "moer_forecast": jax.lax.dynamic_slice(moer_row, (1,), (k,)),
@@ -315,10 +400,14 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             "prev_dispatch": Box(-BATTERY_POWER_MW * TAU_H,
                                  BATTERY_POWER_MW * TAU_H, (1,)),
             "prev_price": Box(-MAX_BID, MAX_BID, (1,)),
+            "prev_load": Box(0, 4000, (1,)),
             "load_forecast": Box(0, 4000, (k,)),
             "prev_moer": Box(0, 1, (1,)),
             "moer_forecast": Box(0, 1, (k,)),
         })
 
-    def action_space(self, params: MarketParams) -> Box:
+    def action_space(self, params: MarketParams):
+        if params.discrete:
+            from ...core.spaces import Discrete
+            return Discrete(3)
         return Box(0.0, MAX_BID, (2 * params.horizon,))

@@ -121,7 +121,8 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
 
 def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
              lb: jax.Array, ub: jax.Array,
-             init: LPSolution | None = None) -> LPSolution:
+             init: LPSolution | None = None,
+             iters: jax.Array | int | None = None) -> LPSolution:
     """Solves one LP (or a batch: all args broadcast over leading dims).
 
     ``h`` is ordered [h_plus(ms), h_minus(ms), h_rest(mg)] when the operator
@@ -131,6 +132,11 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
     slowly-varying problems (receding-horizon SCED: each 5-min step shifts
     the horizon one interval) this cuts the iterations needed for a given
     tolerance several-fold.
+
+    ``iters`` overrides ``op.iters`` and may be a TRACED scalar (e.g.
+    cold-vs-warm budgets selected on episode step): the fori_loop then
+    lowers to a while loop instead of being unrolled/scanned, which costs
+    nothing here (the body is matmul-dominated).
     """
     me, ms, mg = op.me, op.ms, op.mg
     if init is None:
@@ -181,6 +187,7 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
         return (x_new, y, zp, zm, zg)
 
     carry0 = (x, y, z[..., :ms], z[..., ms:2 * ms], z[..., 2 * ms:])
-    x, y, zp, zm, zg = jax.lax.fori_loop(0, op.iters, body, carry0)
+    n_iters = op.iters if iters is None else iters
+    x, y, zp, zm, zg = jax.lax.fori_loop(0, n_iters, body, carry0)
     return LPSolution(x=x, y=y,
                       z=jnp.concatenate([zp, zm, zg], axis=-1))

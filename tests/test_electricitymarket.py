@@ -197,6 +197,128 @@ def test_lp_sym_matches_stacked():
                                np.asarray(sol_plain.z), rtol=1e-8, atol=1e-8)
 
 
+def test_obs_matches_doc_spec(env_and_params):
+    """Field-for-field match with the doc's observation tuple
+    (t, e, a(t-1), x_{t-1}, p_{t-1}, l_{t-1}, l-hat, m_{t-1}, m-hat)
+    (/root/reference/docs/electricitymarketenv.md:12-15)."""
+    env, params = env_and_params
+    state, ts = env.reset_at_day(params, 0)
+    k = params.horizon
+    expect = {"time": (1,), "energy_level": (1,), "prev_action": (2 * k,),
+              "prev_dispatch": (1,), "prev_price": (1,), "prev_load": (1,),
+              "load_forecast": (k,), "prev_moer": (1,),
+              "moer_forecast": (k,)}
+    assert {k_: v.shape for k_, v in ts.obs.items()} == expect
+    # l_{t-1} is the demand the agent experienced: after one step it must
+    # equal the load the market cleared at t=0
+    state, ts = env.step(params, state, jnp.zeros(2 * k),
+                         jax.random.PRNGKey(0))
+    assert float(ts.obs["prev_load"][0]) == pytest.approx(
+        float(params.load[0, 0]), rel=1e-6)
+
+
+def test_warm_iters_price_accuracy():
+    """EQUAL-ACCURACY contract for the split cold/warm PDHG budget: the
+    default warm budget (100, with the horizon-shifted warm start) must
+    track a flat-600-iteration reference as closely as the old flat-200
+    config did — at 2.0x fewer iterations per step. (Measured over 96
+    steps: warm=100 mean |dp| $0.21 vs the 600-iter prices; flat-200 was
+    $0.22 — equal accuracy; tools/warm_sweep.py. The first ~5 warm steps
+    carry a larger transient inherited from the approximate cold solve, so
+    the window must cover a representative stretch.)"""
+    steps = 96
+    prices = {}
+    for cold, warm in ((600, 600), (200, 200), (200, 100)):
+        env, params = em.make_env(month="2021-05", horizon=4, lp_iters=cold,
+                                  lp_warm_iters=warm)
+        state, _ = env.reset_at_day(params, 0)
+
+        def run(state, env=env, params=params):
+            def body(state, t):
+                a = jnp.concatenate([jnp.full(4, 20.0), jnp.full(4, 60.0)])
+                state, ts = env.step(params, state, a,
+                                     jax.random.PRNGKey(0))
+                return state, ts.info["price"]
+            return jax.lax.scan(body, state, jnp.arange(steps))[1]
+
+        prices[warm] = np.asarray(jax.jit(run)(state))
+    err100 = np.abs(prices[100] - prices[600])
+    err200 = np.abs(prices[200] - prices[600])
+    assert err100.mean() < 0.4, (err100.mean(), err100.max())
+    assert err100.max() < 2.5, (err100.mean(), err100.max())
+    assert err100.mean() < err200.mean() + 0.1, (err100.mean(), err200.mean())
+
+
+def test_discrete_three_action_wrapper():
+    """Doc's 3-action discretization (charge / do nothing / discharge,
+    docs/electricitymarketenv.md:18): Discrete(3) action space; action 0
+    charges the battery, 1 leaves it (nearly) untouched, 2 discharges;
+    each discrete action's step must equal the continuous env stepped with
+    the mapped extreme/zero bids."""
+    from sustaingym_tpu.core.spaces import Discrete
+
+    env_d, params_d = em.make_env(month="2021-05", horizon=2, lp_iters=150,
+                                  discrete=True)
+    env_c, params_c = em.make_env(month="2021-05", horizon=2, lp_iters=150)
+    assert isinstance(env_d.action_space(params_d), Discrete)
+    assert env_d.action_space(params_d).n == 3
+
+    state0, _ = env_d.reset_at_day(params_d, 0)
+    state0c, _ = env_c.reset_at_day(params_c, 0)
+    deltas = {}
+    for a_int, bids in enumerate(em.env.DISCRETE_BIDS):
+        s_d, ts_d = env_d.step(params_d, state0, jnp.asarray(a_int),
+                               jax.random.PRNGKey(0))
+        cont = jnp.repeat(jnp.asarray(bids, jnp.float32), 2)
+        s_c, ts_c = env_c.step(params_c, state0c, cont,
+                               jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(ts_d.reward), float(ts_c.reward),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(s_d.energy), float(s_c.energy),
+                                   rtol=1e-6, atol=1e-6)
+        deltas[a_int] = float(s_d.energy) - float(s_d.energy0)
+    assert deltas[0] > 1e-3          # charge raises the level
+    assert abs(deltas[1]) < 0.5      # idle ~leaves it
+    assert deltas[2] < -1e-3         # discharge lowers it
+
+
+def test_discrete_market_ppo_learns():
+    """The categorical PPO head trains the 3-action market env (the VERDICT
+    round-2 done-bar for the discretize wrapper). Mean episode reward is
+    confounded by battery depletion (discharging drains the 80 MWh budget,
+    so rewards fall over an episode REGARDLESS of policy), so the learning
+    assertion is policy movement: at a fresh battery's observation,
+    immediate discharge revenue dominates, and training must raise the
+    policy's discharge probability above its ~1/3 starting point."""
+    import optax  # noqa: F401  (ppo dependency)
+    from sustaingym_tpu.parallel import PPOConfig
+    from sustaingym_tpu.parallel.ppo import make_train_step, policy_apply
+
+    env, params = em.make_env(month="2021-05", horizon=2, lp_iters=40,
+                              lp_warm_iters=20, discrete=True)
+    cfg = PPOConfig(num_envs=16, rollout_len=16, hidden=32, epochs=2,
+                    minibatches=2, lr=3e-3, reward_scale=1e-3)
+    init_state, train_step = make_train_step(env, params, cfg)
+    carry = init_state(jax.random.PRNGKey(0))
+
+    from sustaingym_tpu.core import flatten
+    _, ts0 = env.reset_at_day(params, 0)
+    obs0 = flatten(env.observation_space(params), ts0.obs)
+
+    def p_discharge(policy):
+        logits, _, _ = policy_apply(policy, obs0)
+        return float(jax.nn.softmax(logits.reshape(3))[2])
+
+    p_before = p_discharge(carry["policy"])
+    step = jax.jit(train_step)
+    for i in range(10):
+        carry, metrics = step(carry, jax.random.fold_in(
+            jax.random.PRNGKey(1), i))
+    p_after = p_discharge(carry["policy"])
+    assert 0.1 < p_before < 0.6  # roughly uniform at init
+    assert p_after > p_before + 0.1, (p_before, p_after)
+
+
 def test_lp_bf16_prices():
     """bf16-matmul PDHG (params default) must track the f32 solve's clearing
     prices well inside the solver's own iteration tolerance (~$0.23/MWh,
