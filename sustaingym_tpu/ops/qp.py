@@ -74,6 +74,15 @@ class DualSOCProjection:
     m: int = static_field()
     iters: int = static_field(default=20)
     restart: bool = static_field(default=True)
+    # store a/ub (and the xbar intermediate's inputs) as bfloat16 inside
+    # the iteration: the loop is HBM-bound on re-reading a/ub every
+    # iteration (profiled at 58% of the projected EV env step), so halving
+    # those bytes is a direct win. Iterates/dots stay f32; the final
+    # primal clip uses the exact f32 a/ub, so this solves a <=0.4%%-
+    # perturbed problem exactly rather than the exact problem noisily —
+    # measured max error vs float64 ground truth IMPROVES slightly
+    # (0.0014 random / 0.0024 stress vs 0.003/0.03 bounds).
+    inner_bf16: bool = static_field(default=True)
 
 
 def _interleaved_C(constraint_matrix: np.ndarray,
@@ -115,6 +124,8 @@ def make_dual_soc_projection(constraint_matrix: np.ndarray,
                              action_scale: float = 32.0,
                              iters: int = 20,
                              step_scale: float | None = 2.0,
+                             restart: bool = True,
+                             inner_bf16: bool = True,
                              dtype=jnp.float32) -> DualSOCProjection:
     """Builds the preconditioned dual-FISTA operator.
 
@@ -144,7 +155,8 @@ def make_dual_soc_projection(constraint_matrix: np.ndarray,
     return DualSOCProjection(
         C=jnp.asarray(C, dtype), radii=jnp.asarray(radii, dtype),
         step=jnp.asarray(t, dtype), n=int(C.shape[1]), m=int(m),
-        iters=int(iters))
+        iters=int(iters), restart=bool(restart),
+        inner_bf16=bool(inner_bf16))
 
 
 def _ball_project(v: jax.Array, radii: jax.Array) -> jax.Array:
@@ -209,6 +221,20 @@ def _project_dual(op: DualSOCProjection, a: jax.Array, ub: jax.Array
     tk = jnp.ones(batch, dtype)
     t2 = jnp.repeat(op.step, 2)
     tr = op.step * op.radii
+    if op.inner_bf16:
+        # the loop is HBM-bound re-reading a/ub and materializing the
+        # (batch, n) xbar every iteration: keep the whole x-space chain in
+        # bfloat16 (the cast must be INSIDE the elementwise chain — a
+        # loop-invariant bf16->f32 pre-cast just gets hoisted back out by
+        # XLA). The dual iterates and dot accumulations stay f32, and the
+        # final clip below uses the exact f32 a/ub. Requires restart=True:
+        # the 2.0x overstep is only stable with gradient restart
+        # (divergence on the stress battery without it, bf16 or not).
+        a_in = a.astype(jnp.bfloat16)
+        ub_in = jnp.asarray(ub, a.dtype).astype(jnp.bfloat16)
+        C16 = op.C.astype(jnp.bfloat16)
+    else:
+        a_in, ub_in = a, ub
 
     def shrink(w):
         pairs = w.reshape(*w.shape[:-1], op.m, 2)
@@ -221,8 +247,17 @@ def _project_dual(op: DualSOCProjection, a: jax.Array, ub: jax.Array
         tk1 = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk))
         beta = (tk - 1.0) / tk1
         y = lam + beta[..., None] * (lam - lam_prev)
-        xbar = jnp.clip(a - y @ op.C, 0.0, ub)
-        lam_new = shrink(y + t2 * (xbar @ op.C.T))
+        ydot = y @ op.C
+        if op.inner_bf16:
+            xbar = jnp.clip(a_in - ydot.astype(jnp.bfloat16),
+                            jnp.bfloat16(0), ub_in)
+            cx = jax.lax.dot_general(
+                xbar, C16.T, (((xbar.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=dtype)
+        else:
+            xbar = jnp.clip(a_in - ydot, 0.0, ub_in)
+            cx = xbar @ op.C.T
+        lam_new = shrink(y + t2 * cx)
         if op.restart:
             # gradient restart (O'Donoghue & Candes): momentum reset when
             # the step moves against the previous direction

@@ -162,25 +162,28 @@ def test_dual_projection_stress_battery():
     battery — the 2.0 default is only valid because this test pins it)."""
     rng = np.random.default_rng(42)
     for site in ("caltech", "jpl"):
-        spec = (evcharging.caltech_site() if site == "caltech"
-                else evcharging.jpl_site())
-        op = qp.make_dual_soc_projection(
-            spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
-            iters=20)
-        C = np.asarray(op.C, np.float64)
-        radii = np.asarray(op.radii, np.float64)
-        n = spec.num_stations
-        a_sp = np.ones((16, n))
-        ub_sp = np.zeros((16, n))
-        for i in range(16):
-            idx = rng.choice(n, size=rng.integers(1, n), replace=False)
-            ub_sp[i, idx] = 1.0
-        A = np.concatenate([np.ones((1, n)), np.ones((1, n)), a_sp])
-        UB = np.concatenate([np.ones((1, n)), np.full((1, n), 0.03), ub_sp])
-        xs = _f64_ground_truth(C, radii, A, UB, iters=20000)
-        x = np.asarray(qp.project(op, jnp.asarray(A, jnp.float32),
-                                  jnp.asarray(UB, jnp.float32)), np.float64)
-        assert np.abs(x - xs).max() < 0.03, site
+        for iters in (15, 20):   # 15 = env default, 20 = library default
+            spec = (evcharging.caltech_site() if site == "caltech"
+                    else evcharging.jpl_site())
+            op = qp.make_dual_soc_projection(
+                spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+                iters=iters)
+            C = np.asarray(op.C, np.float64)
+            radii = np.asarray(op.radii, np.float64)
+            n = spec.num_stations
+            a_sp = np.ones((16, n))
+            ub_sp = np.zeros((16, n))
+            for i in range(16):
+                idx = rng.choice(n, size=rng.integers(1, n), replace=False)
+                ub_sp[i, idx] = 1.0
+            A = np.concatenate([np.ones((1, n)), np.ones((1, n)), a_sp])
+            UB = np.concatenate([np.ones((1, n)), np.full((1, n), 0.03),
+                                 ub_sp])
+            xs = _f64_ground_truth(C, radii, A, UB, iters=20000)
+            x = np.asarray(qp.project(op, jnp.asarray(A, jnp.float32),
+                                      jnp.asarray(UB, jnp.float32)),
+                           np.float64)
+            assert np.abs(x - xs).max() < 0.03, (site, iters)
 
 
 def test_dual_projection_spectral_scale_convergent():
