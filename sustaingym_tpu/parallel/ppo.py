@@ -348,6 +348,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 "adv": advs.reshape(n, n_agents),
                 "ret": rets.reshape(n, n_agents),
             }
+            fields = None
         else:
             # total sample count: time x envs (x agents for shared-policy
             # agent-axis views)
@@ -359,9 +360,41 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 "adv": advs.reshape(n),
                 "ret": rets.reshape(n),
             }
+            # pack every per-sample field into ONE (n, F) array so each
+            # epoch shuffles with a single wide gather: per-minibatch
+            # gathers of 10-40 byte rows profiled at 5.5 GB/s (~32x read
+            # amplification from lane padding) and were 69% of the whole
+            # train step's device time
+            fields = [("obs", flat["obs"].shape[1]),
+                      ("u", flat["u"].shape[1]),
+                      ("logp", 1), ("adv", 1), ("ret", 1)]
+            packed = jnp.concatenate(
+                [flat["obs"].astype(jnp.float32),
+                 flat["u"].astype(jnp.float32),
+                 flat["logp"][:, None], advs.reshape(n, 1),
+                 rets.reshape(n, 1)], axis=1)
+            u_dtype = flat["u"].dtype
 
-        mb = n // cfg.minibatches
-        dropped = n - mb * cfg.minibatches
+        if fields is None:
+            # per-agent path: rows are (n_agents, ...) slabs, wide enough
+            # that the plain row gather is not the bottleneck
+            mb = n // cfg.minibatches
+            dropped = n - mb * cfg.minibatches
+        else:
+            # shuffle BLOCKS of G adjacent samples so each gather row is
+            # >=128 lanes (G * F floats). Flat order is (time, env): G
+            # adjacent rows are G INDEPENDENT envs at the same timestep,
+            # so block shuffling costs nothing statistically — blocks land
+            # in random minibatches, and their members are iid envs
+            F = int(packed.shape[1])
+            G = 1
+            while G * F < 128 and n % (2 * G) == 0:
+                G *= 2
+            n_blocks = n // G
+            blocks = packed.reshape(n_blocks, G * F)
+            mb_blocks = n_blocks // cfg.minibatches
+            mb = mb_blocks * G
+            dropped = n - mb * cfg.minibatches
         if dropped:
             # n is static at trace time, so this warns once per compile (the
             # SURVEY "no silent caps" rule): with agent-axis envs n is rarely
@@ -372,22 +405,45 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 f"(rollout_len*num_envs[*n_agents]={n} not divisible by "
                 f"minibatches={cfg.minibatches})", stacklevel=2)
 
+        def unpack(mbarr):
+            out = {}
+            off = 0
+            for name, width in fields:
+                col = mbarr[:, off:off + width]
+                off += width
+                out[name] = col
+            out["u"] = out["u"].astype(u_dtype)
+            out["logp"] = out["logp"][:, 0]
+            out["adv"] = out["adv"][:, 0]
+            out["ret"] = out["ret"][:, 0]
+            return out
+
         def epoch(carry, key_e):
             policy, opt_state = carry
-            perm = jax.random.permutation(key_e, n)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, batch):
                 policy, opt_state = carry
-                batch = jax.tree.map(lambda x: x[idx], flat)
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(policy, batch)
                 updates, opt_state = opt.update(grads, opt_state, policy)
                 policy = optax.apply_updates(policy, updates)
                 return (policy, opt_state), metrics
 
-            idxs = perm[:mb * cfg.minibatches].reshape(cfg.minibatches, mb)
-            (policy, opt_state), metrics = jax.lax.scan(
-                minibatch, (policy, opt_state), idxs)
+            if fields is None:
+                perm = jax.random.permutation(key_e, n)
+                idxs = perm[:mb * cfg.minibatches].reshape(
+                    cfg.minibatches, mb)
+                (policy, opt_state), metrics = jax.lax.scan(
+                    lambda c, idx: minibatch(
+                        c, jax.tree.map(lambda x: x[idx], flat)),
+                    (policy, opt_state), idxs)
+            else:
+                perm = jax.random.permutation(key_e, n_blocks)
+                shuffled = blocks[perm[:mb_blocks * cfg.minibatches]]
+                mbs = shuffled.reshape(cfg.minibatches, mb, F)
+                (policy, opt_state), metrics = jax.lax.scan(
+                    lambda c, arr: minibatch(c, unpack(arr)),
+                    (policy, opt_state), mbs)
             return (policy, opt_state), metrics
 
         (policy, opt_state), metrics = jax.lax.scan(
