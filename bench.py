@@ -161,20 +161,27 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
 
 
 def bench_train(env_name: str = "building", num_envs: int = 4096,
-                rollout_len: int = 64, iters: int = 5) -> dict:
-    """Fused PPO train-step throughput (rollout + GAE + 4x8 minibatch update
-    as ONE program) — the learner-side counterpart of the env rollouts.
-    Measured sweet spot on one v5 chip: ~4.8M env-steps/s at 4096x64
-    (update-bound beyond that; the env rollout alone runs 2 orders faster)."""
+                rollout_len: int = 64, iters: int = 5,
+                algo: str = "ppo") -> dict:
+    """Fused train-step throughput (rollout + update as ONE program) — the
+    learner-side counterpart of the env rollouts. ``algo``: 'ppo' (rollout
+    + GAE + block-shuffled 4x8 minibatch epochs; 11.3M env-steps/s at
+    4096x64 on one v5 chip) or 'sac' (off-policy on-device replay ring +
+    16 twin-critic gradient steps per train step)."""
     import jax
 
     from sustaingym_tpu import make
-    from sustaingym_tpu.parallel import PPOConfig
-    from sustaingym_tpu.parallel.ppo import make_train_step
+    from sustaingym_tpu.parallel import (PPOConfig, SACConfig,
+                                         make_sac_train_step,
+                                         make_train_step)
 
     env, params = make(env_name)
-    cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len)
-    init_state, train_step = make_train_step(env, params, cfg)
+    if algo == "sac":
+        cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len)
+        init_state, train_step = make_sac_train_step(env, params, cfg)
+    else:
+        cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len)
+        init_state, train_step = make_train_step(env, params, cfg)
     carry = init_state(jax.random.PRNGKey(0))
     step = jax.jit(train_step, donate_argnums=0)
     carry, m = step(carry, jax.random.PRNGKey(1))
@@ -185,7 +192,7 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / iters
     return {
-        "metric": f"ppo_{env_name}_train_env_steps_per_s_per_chip",
+        "metric": f"{algo}_{env_name}_train_env_steps_per_s_per_chip",
         "value": round(num_envs * rollout_len / dt, 1),
         "unit": "env-steps/s",
         "batch": num_envs,
@@ -291,8 +298,10 @@ SUITE_BATCH = {
     "building": 524288,
     "cogen": 262144,
     "datacenter": 262144,
-    "evcharging": 16384,     # 32768 measured SLOWER (19.2M vs 22.5M)
-    "electricitymarket": 8192,
+    "evcharging": 16384,     # 32768 measured SLOWER (35.0M vs 47.1M)
+    # BASELINE.json config 3 is "batch 4096" — the suite line is the
+    # named config (8192 measured ~equal steps/s/chip)
+    "electricitymarket": 4096,
 }
 
 
@@ -307,6 +316,9 @@ def main() -> None:
                         help="scan length (default: the env's episode "
                              "length: 288, cogen 96, datacenter 672)")
     parser.add_argument("--measure-reference", action="store_true")
+    parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"],
+                        help="--env train only: which learner to bench "
+                             "(the full suite emits both)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the final timed "
                              "repeat to DIR")
@@ -328,7 +340,7 @@ def main() -> None:
         return
 
     if args.env == "train":
-        print(json.dumps(bench_train()), flush=True)
+        print(json.dumps(bench_train(algo=args.algo)), flush=True)
         return
 
     envs = (list(SUITE_BATCH) if args.env == "all" else [args.env])
@@ -340,8 +352,9 @@ def main() -> None:
                             project_action=args.project_action)
         print(json.dumps(result), flush=True)
     if args.env == "all":
-        # learner-side line: the fused PPO train step (rollout+GAE+update)
-        print(json.dumps(bench_train()), flush=True)
+        # learner-side lines: fused PPO and SAC train steps
+        print(json.dumps(bench_train(algo="ppo")), flush=True)
+        print(json.dumps(bench_train(algo="sac")), flush=True)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ import pytest
 
 import gymnasium
 import gymnasium.utils.env_checker
-from pettingzoo.test import parallel_api_test
+from pettingzoo.test import parallel_api_test, parallel_seed_test
 
 import sustaingym_tpu.compat as compat
 
@@ -83,20 +83,31 @@ def test_discrete_action_wrapper(building_env):
 # ---------------------------------------------------------------------------
 
 def test_ma_building_parallel_api():
-    # >=500 cycles: comparable rigor to the reference's 1000-cycle checks
-    # (/root/reference/tests/test_building.py), spanning episode boundaries
+    # 1000 cycles: the reference's rigor
+    # (/root/reference/tests/test_building.py:39), spanning episode
+    # boundaries
     env = compat.MultiAgentBuildingParallelEnv()
-    parallel_api_test(env, num_cycles=600)
+    parallel_api_test(env, num_cycles=1000)
 
 
 def test_ma_cogen_parallel_api():
     env = compat.MultiAgentCogenParallelEnv(forecast_horizon=2)
-    parallel_api_test(env, num_cycles=500)
+    parallel_api_test(env, num_cycles=1000)
 
 
 def test_ma_evcharging_parallel_api():
     env = compat.MultiAgentEVChargingParallelEnv()
-    parallel_api_test(env, num_cycles=500)
+    parallel_api_test(env, num_cycles=1000)
+
+
+def test_ma_parallel_seed_determinism():
+    """pettingzoo parallel_seed_test for all three MA adapters (the
+    reference runs it at /root/reference/tests/test_evcharging.py:42):
+    same seed => identical episodes."""
+    parallel_seed_test(lambda: compat.MultiAgentBuildingParallelEnv())
+    parallel_seed_test(
+        lambda: compat.MultiAgentCogenParallelEnv(forecast_horizon=2))
+    parallel_seed_test(lambda: compat.MultiAgentEVChargingParallelEnv())
 
 
 def test_ma_evcharging_discrete_parallel_api():
