@@ -87,7 +87,7 @@ class MarketParams:
     id: int = static_field()
     intermediate_rewards: bool = static_field(default=True)
     # warm-started PDHG iteration budget (op.iters is the cold budget)
-    lp_warm_iters: int = static_field(default=100)
+    lp_warm_iters: int = static_field(default=60)
     # 3-action mode (doc's discretize wrapper)
     discrete: bool = static_field(default=False)
 
@@ -141,7 +141,7 @@ def make_params(month: str = "2021-05",
                 # step's solution warm-starts a horizon shifted by one
                 # 5-min interval, needing several-fold fewer iterations
                 # for the same accuracy (test_warm_iters_price_accuracy)
-                lp_warm_iters: int = 100,
+                lp_warm_iters: int = 60,
                 intermediate_rewards: bool = True,
                 # doc's 3-action discretize wrapper: Discrete(3) actions
                 # charge / do nothing / discharge -> DISCRETE_BIDS
@@ -155,6 +155,18 @@ def make_params(month: str = "2021-05",
                 # elsewhere (CPU users would pay the precision cost for no
                 # speedup — round-2 advisor finding)
                 lp_bf16: bool | None = None,
+                # PDHG over-relaxation (ops/lp.py relax): any value < 2
+                # converges; tuned on the SCED geometry
+                # PDHG over-relaxation (ops/lp.py relax): measured NO
+                # gain on this geometry (1.8 tracked worse at every warm
+                # budget) — kept for completeness, default off
+                lp_relax: float = 1.0,
+                # Pock-Chambolle preconditioner exponent: alpha=0.5
+                # measured 2x more accurate per iteration than the
+                # standard alpha=1 row/col sums on the SCED geometry
+                # (tools/warm_sweep.py: warm=60@0.5 tracks the 600-iter
+                # reference as tightly as warm=100@1.0)
+                lp_precond_alpha: float = 0.5,
                 dtype=jnp.float32) -> MarketParams:
     from ...data.ev_etl import build_moer_pack
 
@@ -175,7 +187,8 @@ def make_params(month: str = "2021-05",
     op = lp.make_lp_operator(
         mats["A"], np.zeros((0, mats["A"].shape[1])), iters=lp_iters,
         dtype=dtype, sym=mats["S"],
-        matmul_dtype=jnp.bfloat16 if lp_bf16 else None)
+        matmul_dtype=jnp.bfloat16 if lp_bf16 else None,
+        relax=lp_relax, precond_alpha=lp_precond_alpha)
     load = _synthesize_load(n_days, m)
     # pad horizon steps with the head of the next day for lookahead
     pad = np.roll(load, -1, axis=0)[:, :horizon]

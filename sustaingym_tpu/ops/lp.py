@@ -71,6 +71,9 @@ class LPOperator:
     iters: int = static_field(default=400)
     # None -> f32 matmuls; jnp.bfloat16 -> bf16 inputs, f32 accumulation
     matmul_dtype: Any = static_field(default=None)
+    # over-relaxation on the full PDHG operator (z+ = z + rho (T z - z)):
+    # PDHG is averaged nonexpansive, so any rho < 2 converges; 1.0 = plain
+    relax: float = static_field(default=1.0)
 
     @property
     def mi(self) -> int:
@@ -86,9 +89,12 @@ class LPSolution(NamedTuple):
 
 def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
                      dtype=jnp.float32, sym: np.ndarray | None = None,
-                     matmul_dtype=None) -> LPOperator:
+                     matmul_dtype=None, relax: float = 1.0,
+                     precond_alpha: float = 1.0) -> LPOperator:
     """Builds the operator with diagonal (Pock-Chambolle) preconditioning:
-    tau_j = 1 / sum_i |K_ij|, sigma_i = 1 / sum_j |K_ij|.
+    tau_j = 1 / sum_i |K_ij|^(2-alpha), sigma_i = 1 / sum_j |K_ij|^alpha
+    (Pock & Chambolle 2011, thm. 1 — convergent for any alpha in [0, 2];
+    alpha trades primal vs dual step aggressiveness and is geometry-tuned).
 
     ``sym`` (ms, n), if given, adds the two-sided rows ±sym x <= (h_p, h_m);
     ``G`` keeps only the residual one-sided rows. The preconditioner is
@@ -102,11 +108,12 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
     S = (np.zeros((0, A.shape[1])) if sym is None
          else np.atleast_2d(np.asarray(sym, np.float64)))
     K = np.vstack([A, S, -S, G])
-    col = np.abs(K).sum(axis=0)
+    a_exp = float(precond_alpha)
+    col = (np.abs(K) ** (2.0 - a_exp)).sum(axis=0)
     tau = 1.0 / np.maximum(col, 1e-6)
 
     def row_sigma(Mat):
-        return 1.0 / np.maximum(np.abs(Mat).sum(axis=1), 1e-6)
+        return 1.0 / np.maximum((np.abs(Mat) ** a_exp).sum(axis=1), 1e-6)
 
     return LPOperator(
         A=jnp.asarray(A, dtype), S=jnp.asarray(S, dtype),
@@ -116,7 +123,7 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
         sigma_s=jnp.asarray(row_sigma(S), dtype),
         sigma_g=jnp.asarray(row_sigma(G), dtype),
         n=A.shape[1], me=A.shape[0], ms=S.shape[0], mg=G.shape[0],
-        iters=int(iters), matmul_dtype=matmul_dtype)
+        iters=int(iters), matmul_dtype=matmul_dtype, relax=float(relax))
 
 
 def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
@@ -164,6 +171,8 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
     # the dual blocks stay SEPARATE carry elements with one matmul each:
     # assembling them with in-loop concatenate/slice forces TPU layout
     # changes that compile pathologically and run far off the MXU rate
+    rho = op.relax
+
     def body(_, carry):
         x, y, zp, zm, zg = carry
         grad = c
@@ -176,15 +185,29 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
         x_new = jnp.clip(x - op.tau * grad, lb, ub)
         x_bar = 2.0 * x_new - x
         if me:
-            y = y + op.sigma_a * (matmul(x_bar, op.A.T) - b)
+            y_new = y + op.sigma_a * (matmul(x_bar, op.A.T) - b)
+        else:
+            y_new = y
         if ms:
             s = matmul(x_bar, op.S.T)       # shared +/- matvec
-            zp = jnp.maximum(0.0, zp + op.sigma_s * (s - h_p))
-            zm = jnp.maximum(0.0, zm + op.sigma_s * (-s - h_m))
+            zp_new = jnp.maximum(0.0, zp + op.sigma_s * (s - h_p))
+            zm_new = jnp.maximum(0.0, zm + op.sigma_s * (-s - h_m))
+        else:
+            zp_new, zm_new = zp, zm
         if mg:
-            zg = jnp.maximum(0.0, zg + op.sigma_g * (matmul(x_bar, op.G.T)
-                                                     - h_g))
-        return (x_new, y, zp, zm, zg)
+            zg_new = jnp.maximum(0.0, zg + op.sigma_g * (
+                matmul(x_bar, op.G.T) - h_g))
+        else:
+            zg_new = zg
+        if rho != 1.0:
+            # Krasnosel'skii-Mann relaxation of the full PDHG operator
+            x_new = x + rho * (x_new - x)
+            y_new = y + rho * (y_new - y)
+            zp_new = jnp.maximum(0.0, zp + rho * (zp_new - zp)) if ms else zp
+            zm_new = jnp.maximum(0.0, zm + rho * (zm_new - zm)) if ms else zm
+            zg_new = jnp.maximum(0.0, zg + rho * (zg_new - zg)) if mg else zg
+            x_new = jnp.clip(x_new, lb, ub)
+        return (x_new, y_new, zp_new, zm_new, zg_new)
 
     carry0 = (x, y, z[..., :ms], z[..., ms:2 * ms], z[..., 2 * ms:])
     n_iters = op.iters if iters is None else iters

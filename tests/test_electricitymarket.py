@@ -219,18 +219,20 @@ def test_obs_matches_doc_spec(env_and_params):
 
 def test_warm_iters_price_accuracy():
     """EQUAL-ACCURACY contract for the split cold/warm PDHG budget: the
-    default warm budget (100, with the horizon-shifted warm start) must
-    track a flat-600-iteration reference as closely as the old flat-200
-    config did — at 2.0x fewer iterations per step. (Measured over 96
-    steps: warm=100 mean |dp| $0.21 vs the 600-iter prices; flat-200 was
-    $0.22 — equal accuracy; tools/warm_sweep.py. The first ~5 warm steps
-    carry a larger transient inherited from the approximate cold solve, so
-    the window must cover a representative stretch.)"""
+    default config (warm=60 at preconditioner alpha=0.5, with the
+    horizon-shifted warm start) must track a flat-600-iteration reference
+    as closely as the old flat-200 config did — at 3.2x fewer iterations
+    per step. (Measured over 96 steps: warm=60@0.5 mean |dp| $0.20 vs the
+    600-iter prices; flat-200@1.0 was $0.19; tools/warm_sweep.py. The
+    first ~5 warm steps carry a larger transient inherited from the
+    approximate cold solve, so the window must cover a representative
+    stretch.)"""
     steps = 96
     prices = {}
-    for cold, warm in ((600, 600), (200, 200), (200, 100)):
+    for cold, warm, pa in ((600, 600, 1.0), (200, 200, 1.0),
+                           (200, 60, 0.5)):
         env, params = em.make_env(month="2021-05", horizon=4, lp_iters=cold,
-                                  lp_warm_iters=warm)
+                                  lp_warm_iters=warm, lp_precond_alpha=pa)
         state, _ = env.reset_at_day(params, 0)
 
         def run(state, env=env, params=params):
@@ -242,11 +244,11 @@ def test_warm_iters_price_accuracy():
             return jax.lax.scan(body, state, jnp.arange(steps))[1]
 
         prices[warm] = np.asarray(jax.jit(run)(state))
-    err100 = np.abs(prices[100] - prices[600])
+    err60 = np.abs(prices[60] - prices[600])
     err200 = np.abs(prices[200] - prices[600])
-    assert err100.mean() < 0.4, (err100.mean(), err100.max())
-    assert err100.max() < 2.5, (err100.mean(), err100.max())
-    assert err100.mean() < err200.mean() + 0.1, (err100.mean(), err200.mean())
+    assert err60.mean() < 0.4, (err60.mean(), err60.max())
+    assert err60.max() < 2.5, (err60.mean(), err60.max())
+    assert err60.mean() < err200.mean() + 0.1, (err60.mean(), err200.mean())
 
 
 def test_discrete_three_action_wrapper():

@@ -6,9 +6,14 @@ from sustaingym_tpu.envs import electricitymarket as em
 
 steps = 96
 prices = {}
-for warm in (200, 75, 100, 125):
-    env, params = em.make_env(month="2021-05", horizon=4, lp_iters=200,
-                              lp_warm_iters=warm)
+CONFIGS = [(200, 100, 1.0, 1.0), (200, 40, 1.0, 0.5),
+           (200, 50, 1.0, 0.5), (200, 60, 1.0, 0.5),
+           (200, 50, 1.0, 0.3), (200, 50, 1.0, 0.7),
+           (150, 50, 1.0, 0.5), (100, 50, 1.0, 0.5)]
+for cold, warm, relax, pa in CONFIGS:
+    env, params = em.make_env(month="2021-05", horizon=4, lp_iters=cold,
+                              lp_warm_iters=warm, lp_relax=relax,
+                              lp_precond_alpha=pa)
     state, _ = env.reset_at_day(params, 0)
 
     def run(state, params=params, env=env):
@@ -18,15 +23,11 @@ for warm in (200, 75, 100, 125):
             return state, ts.info["price"]
         return jax.lax.scan(body, state, jnp.arange(steps))[1]
 
-    prices[warm] = np.asarray(jax.jit(run)(state))
-for warm in (75, 100, 125):
-    err = np.abs(prices[warm] - prices[200])
-    print(f"warm={warm}: mean={err.mean():.3f} max={err.max():.3f}")
-# also vs a 600-iter flat reference
+    prices[(warm, relax, pa)] = np.asarray(jax.jit(run)(state))
 env, params = em.make_env(month="2021-05", horizon=4, lp_iters=600,
                           lp_warm_iters=600)
 state, _ = env.reset_at_day(params, 0)
 p600 = np.asarray(jax.jit(lambda s: run(s, params, env))(state))
-for warm in (75, 100, 125, 200):
-    err = np.abs(prices[warm] - p600)
-    print(f"warm={warm} vs flat600: mean={err.mean():.3f} max={err.max():.3f}")
+for k in prices:
+    err = np.abs(prices[k] - p600)
+    print(f"warm={k[0]} relax={k[1]} alpha={k[2]} vs flat600: mean={err.mean():.3f} max={err.max():.3f}")
