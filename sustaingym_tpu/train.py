@@ -63,11 +63,12 @@ def main(argv: list[str] | None = None) -> None:
                              "the RLLib env_config analogue (reference "
                              "train_rllib.py:157), e.g. "
                              "'{\"site\": \"jpl\", \"discrete_bins\": 5}'")
-    parser.add_argument("--algo", default="ppo", choices=["ppo", "a2c", "sac", "dqn"],
+    parser.add_argument("--algo", default="ppo", choices=["ppo", "a2c", "sac", "dqn", "ddpg"],
                         help="ppo/a2c (on-policy, fused rollout+update), "
                              "sac (off-policy, on-device replay ring), or "
                              "dqn (double-DQN for discrete/discretized "
-                             "envs, same replay-ring design)")
+                             "envs) / ddpg (TD3-style deterministic PG), "
+                             "all off-policy with the same replay-ring design")
     parser.add_argument("--iterations", type=int, default=50)
     parser.add_argument("--num-envs", type=int, default=1024)
     parser.add_argument("--rollout-len", type=int, default=64)
@@ -97,8 +98,9 @@ def main(argv: list[str] | None = None) -> None:
     import jax
 
     from sustaingym_tpu import make
-    from sustaingym_tpu.parallel import (DQNConfig, PPOConfig, SACConfig,
-                                         init_distributed, make_mesh,
+    from sustaingym_tpu.parallel import (DDPGConfig, DQNConfig, PPOConfig,
+                                         SACConfig, init_distributed,
+                                         make_ddpg_train_step, make_mesh,
                                          make_dqn_train_step,
                                          make_sac_train_step, make_train_step)
 
@@ -122,6 +124,11 @@ def main(argv: list[str] | None = None) -> None:
                         rollout_len=args.rollout_len,
                         hidden=args.hidden, lr=args.lr, gamma=args.gamma)
         init_state, train_step = make_dqn_train_step(env, env_params, cfg)
+    elif args.algo == "ddpg":
+        cfg = DDPGConfig(num_envs=args.num_envs,
+                         rollout_len=args.rollout_len,
+                         hidden=args.hidden, lr=args.lr, gamma=args.gamma)
+        init_state, train_step = make_ddpg_train_step(env, env_params, cfg)
     else:
         reward_scale = args.reward_scale
         if reward_scale is None:
@@ -142,7 +149,7 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.mesh:
         mesh = make_mesh(args.mesh, mp=args.mp)
-        if args.algo in ("sac", "dqn"):
+        if args.algo in ("sac", "dqn", "ddpg"):
             carry = shard_sac_carry(carry, mesh)
         else:
             carry = _shard_carry(carry, mesh, data_sharding(mesh),
