@@ -49,6 +49,13 @@ class BuildingParams:
     # gather per step replaces four scalar gathers — TPU gather throughput
     # is per-index, so fewer/wider gathers are strictly faster.
     exog: jax.Array           # (T + episode_len, 4)
+    # the same table packed 32 epochs per 128-float row: the generic
+    # (vmapped) step's per-env row gather of 4-wide rows pads each index
+    # to the 128-lane tile (32x read amplification — profiled at 11% of
+    # the whole PPO train step). Gathering one aligned 128-wide chunk row
+    # and selecting the epoch's 4 columns with an EXACT one-hot contract
+    # (one 1.0*v product per output) replaces it at full gather width.
+    exog_chunks: jax.Array    # (ceil((T+episode_len)/32), 128)
     # zone config
     target: jax.Array         # (n,)
     ac_map: jax.Array         # (n,)
@@ -93,6 +100,10 @@ def make_params(p: dict[str, Any], dtype=jnp.float32) -> BuildingParams:
                      np.asarray(p["ghi"], np.float64),
                      np.asarray(p["metabolism"], np.float64)], axis=1)
     exog = np.concatenate([exog, exog[:episode_len]], axis=0)
+    pad_rows = (-len(exog)) % 32
+    exog_padded = np.concatenate(
+        [exog, np.zeros((pad_rows, 4), exog.dtype)], axis=0)
+    exog_chunks = exog_padded.reshape(-1, 128)
     return BuildingParams(
         A_d=jnp.asarray(A_d, dtype),
         BD_d=jnp.asarray(BD_d, dtype),
@@ -101,6 +112,7 @@ def make_params(p: dict[str, Any], dtype=jnp.float32) -> BuildingParams:
         ghi=jnp.asarray(p["ghi"], dtype),
         metabolism=jnp.asarray(p["metabolism"], dtype),
         exog=jnp.asarray(exog, dtype),
+        exog_chunks=jnp.asarray(exog_chunks, dtype),
         target=jnp.asarray(p["target"], dtype),
         ac_map=jnp.asarray(p["ac_map"], dtype),
         q_rate=jnp.asarray((1 - beta) * SCALING_FACTOR, dtype),
@@ -188,6 +200,20 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         return min(epoch, params.length_of_weather - 1)
 
     # ---- pure API -------------------------------------------------------
+    @staticmethod
+    def _exog_row(params: BuildingParams, epoch) -> jax.Array:
+        """Fetch exog[epoch] via the packed chunk table: one 128-wide
+        aligned row gather + an exact one-hot column contract (bit-equal
+        to ``params.exog[epoch]`` — each output is a single 1.0 * v
+        product accumulated with zeros)."""
+        chunk = params.exog_chunks[epoch // 32]            # (..., 128)
+        onehot = (jnp.arange(32) == (epoch % 32)[..., None]
+                  if getattr(epoch, "ndim", 0) else
+                  jnp.arange(32) == (epoch % 32)).astype(chunk.dtype)
+        rows = chunk.reshape(*chunk.shape[:-1], 32, 4)
+        return jnp.einsum("...c,...cf->...f", onehot, rows,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def reset(self, params: BuildingParams, key: jax.Array
               ) -> tuple[BuildingState, TimeStep]:
         epoch = jax.random.randint(key, (), 0, params.length_of_weather - 1)
@@ -197,7 +223,7 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
                        t_initial: jax.Array | None = None
                        ) -> tuple[BuildingState, TimeStep]:
         epoch = jnp.asarray(epoch, jnp.int32)
-        exog_row = params.exog[epoch]
+        exog_row = self._exog_row(params, epoch)
         x0 = params.target if t_initial is None else jnp.asarray(t_initial)
         avg_temp = _seq_sum(x0, params.n) / params.n
         occupower = calc_occupower(avg_temp, exog_row[3])
@@ -215,7 +241,7 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
              action: jax.Array, key: jax.Array
              ) -> tuple[BuildingState, TimeStep]:
         del key  # dynamics are deterministic
-        exog_row = params.exog[state.epoch]
+        exog_row = self._exog_row(params, state.epoch)
         x_new, occupower, reward, obs, info = self._step_exog(
             params, state.x, action, exog_row)
 
