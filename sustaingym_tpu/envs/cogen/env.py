@@ -58,6 +58,13 @@ class CogenParams:
     # (n_days, 96 + horizon + 1, 7): each day padded with the head of the
     # next day so forecasts never cross an array boundary
     ambients: jax.Array
+    # the same pack channel-major and flattened, (n_days, 7 * (96 + h + 1)):
+    # the generic (vmapped) step gathers ONE wide day row from here and
+    # extracts the now-row/forecast window with exact one-hot time
+    # contracts — gathering (day, t)-indexed slabs from ``ambients`` pads
+    # the 7-wide minor dim to the 128-lane tile (profiled at 59% of a
+    # cogen PPO train step)
+    ambients_cm: jax.Array
     ramp_penalty: jax.Array
     supply_imbalance_penalty: jax.Array
     constraint_violation_penalty: jax.Array
@@ -90,6 +97,8 @@ def make_params(renewables_magnitude: float = 0.0,
     amb_padded = np.concatenate([amb, pad], axis=1)
     return CogenParams(
         ambients=jnp.asarray(amb_padded, dtype),
+        ambients_cm=jnp.asarray(
+            amb_padded.transpose(0, 2, 1).reshape(n_days, -1), dtype),
         ramp_penalty=jnp.asarray(ramp_penalty, dtype),
         supply_imbalance_penalty=jnp.asarray(supply_imbalance_penalty, dtype),
         constraint_violation_penalty=jnp.asarray(constraint_violation_penalty, dtype),
@@ -159,21 +168,41 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         a = a.at[BAYS_IDX].set(bays)
         return a
 
+    @staticmethod
+    def _day_slab(params: CogenParams, day: jax.Array) -> jax.Array:
+        """(7, rows) channel-major day slab from ONE wide row gather."""
+        rows = params.timesteps_per_day + params.forecast_horizon + 1
+        flat = params.ambients_cm[day]
+        return flat.reshape(*flat.shape[:-1], 7, rows)
+
+    @staticmethod
+    def _slab_window(params: CogenParams, slab: jax.Array, t: jax.Array
+                     ) -> jax.Array:
+        """(h+1, 7) noise-free window at ``t`` via an exact one-hot time
+        contract (each output is a single 1.0 * v product — bit-equal to
+        the dynamic_slice of ``ambients[day]`` it replaces)."""
+        h = params.forecast_horizon
+        rows = params.timesteps_per_day + h + 1
+        w = (jnp.asarray(t, jnp.int32)[..., None, None]
+             + jnp.arange(h + 1)[:, None] == jnp.arange(rows)[None, :])
+        return jnp.einsum("...wt,...ct->...wc", w.astype(slab.dtype), slab,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def _forecast(self, params: CogenParams, day: jax.Array, t: jax.Array,
-                  key: jax.Array) -> jax.Array:
+                  key: jax.Array, slab: jax.Array | None = None) -> jax.Array:
         """(H+1, 7) forecast slice with iid Gaussian noise on future rows
         (env.py:145-162)."""
         h = params.forecast_horizon
-        t = jnp.asarray(t, jnp.int32)
-        window = jax.lax.dynamic_slice(
-            params.ambients[day], (t, jnp.zeros((), jnp.int32)), (h + 1, 7))
+        if slab is None:
+            slab = self._day_slab(params, day)
+        window = self._slab_window(params, slab, t)
         noise = params.forecast_noise_std * jax.random.normal(
             key, (h, 7), dtype=window.dtype)
         return window.at[1:].add(noise)
 
-    def _obs(self, params: CogenParams, state: CogenState, key: jax.Array
-             ) -> dict[str, jax.Array]:
-        f = self._forecast(params, state.day, state.t, key)
+    def _obs(self, params: CogenParams, state: CogenState, key: jax.Array,
+             slab: jax.Array | None = None) -> dict[str, jax.Array]:
+        f = self._forecast(params, state.day, state.t, key, slab=slab)
         dtype = params.ambients.dtype
         obs = {
             "Time": (state.t / params.timesteps_per_day).astype(dtype)[None],
@@ -211,14 +240,16 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
 
         # reward is computed against the CURRENT (pre-step) true ambient row
         # (env.py:370: _compute_reward(self.obs, action); forecast row 0 is
-        # noise-free)
-        ambient_now = params.ambients[state.day, state.t]
+        # noise-free). ONE wide day-slab gather serves both the now-row and
+        # the next obs window.
+        slab = self._day_slab(params, state.day)
+        ambient_now = self._slab_window(params, slab, state.t)[0]
         reward, info = self._step_core(params, state.prev_action, action,
                                        ambient_now)
 
         t_next = state.t + 1
         new_state = CogenState(day=state.day, t=t_next, prev_action=action)
-        obs = self._obs(params, new_state, key)
+        obs = self._obs(params, new_state, key, slab=slab)
         terminated = t_next >= params.timesteps_per_day
 
         ts = TimeStep(
