@@ -146,16 +146,19 @@ def make_ddpg_train_step(env: FunctionalEnv, env_params, cfg: DDPGConfig,
         return env_states, obs, buffer, written, rews.mean()
 
     def sample(buffer, written, key):
+        # shared time-slot sampling: draw batch_per_env ring slots and take
+        # WHOLE (num_envs, ...) slices. Per-env time indices were profiled
+        # at 4 GB/s — take_along_axis gathers feature-dim-wide runs per
+        # (slot, env) pair, the 128-lane-padding poison — and at 47% of
+        # the SAC train step. Whole-slice rows gather at full width, stay
+        # local to each dp shard, and remain statistically sound: envs are
+        # independent (random reset phases), so a time slice IS an iid
+        # batch over envs; the slot draw only correlates WHICH wall-clock
+        # step each env contributes.
         filled = jnp.minimum(written, cfg.capacity)
-        lead = buffer["reward"].shape[1:]
         idx = jax.random.randint(
-            key, (cfg.batch_per_env, lead[0]), 0, jnp.maximum(filled, 1))
-
-        def take(x):
-            ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
-            return jnp.take_along_axis(x, ix, axis=0)
-
-        return {k: take(v) for k, v in buffer.items()}
+            key, (cfg.batch_per_env,), 0, jnp.maximum(filled, 1))
+        return {k: v[idx] for k, v in buffer.items()}
 
     def update(carry, key):
         actor, critics = carry["actor"], carry["critics"]
