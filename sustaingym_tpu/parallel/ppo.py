@@ -385,7 +385,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             # >=128 lanes (G * F floats). Flat order is (time, env): G
             # adjacent rows are G INDEPENDENT envs at the same timestep,
             # so block shuffling costs nothing statistically — blocks land
-            # in random minibatches, and their members are iid envs
+            # in random minibatches, and their members are iid envs.
+            # (A larger 512-float target was measured SLOWER on building
+            # (13.4M -> 10.3M) and ~neutral on agent-axis MA-EV, whose
+            # update is matmul-bound — 128 is the sweet spot.)
             F = int(packed.shape[1])
             G = 1
             while G * F < 128 and n % (2 * G) == 0:
