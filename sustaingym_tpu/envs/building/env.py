@@ -207,9 +207,8 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         to ``params.exog[epoch]`` — each output is a single 1.0 * v
         product accumulated with zeros)."""
         chunk = params.exog_chunks[epoch // 32]            # (..., 128)
-        onehot = (jnp.arange(32) == (epoch % 32)[..., None]
-                  if getattr(epoch, "ndim", 0) else
-                  jnp.arange(32) == (epoch % 32)).astype(chunk.dtype)
+        onehot = (jnp.arange(32) == jnp.asarray(epoch % 32)[..., None]
+                  ).astype(chunk.dtype)
         rows = chunk.reshape(*chunk.shape[:-1], 32, 4)
         return jnp.einsum("...c,...cf->...f", onehot, rows,
                           precision=jax.lax.Precision.HIGHEST)

@@ -155,8 +155,6 @@ def make_params(month: str = "2021-05",
                 # elsewhere (CPU users would pay the precision cost for no
                 # speedup — round-2 advisor finding)
                 lp_bf16: bool | None = None,
-                # PDHG over-relaxation (ops/lp.py relax): any value < 2
-                # converges; tuned on the SCED geometry
                 # PDHG over-relaxation (ops/lp.py relax): measured NO
                 # gain on this geometry (1.8 tracked worse at every warm
                 # budget) — kept for completeness, default off

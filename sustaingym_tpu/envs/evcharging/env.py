@@ -72,8 +72,8 @@ class EVParams:
     constraint_im: jax.Array  # (m, n) Im(A~)
     magnitudes: jax.Array     # (m,)
     min_pilots: jax.Array     # (n,)
-    # projection operator
-    proj: qp.SOCProjection
+    # projection operator (dual-FISTA default, ADMM legacy)
+    proj: qp.DualSOCProjection | qp.SOCProjection
     # statics
     n_stations: int = static_field()
     n_days: int = static_field()

@@ -30,6 +30,9 @@ from ..core import FunctionalEnv, autoreset_step
 from ..core.spaces import Discrete, MultiDiscrete
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
+from .replay import sample_transitions, write_transition
+from .runner import run_train_loop
+from .sac import _dense
 
 __all__ = ["DQNConfig", "make_dqn_train_step", "train_dqn"]
 
@@ -51,12 +54,10 @@ class DQNConfig:
     double: bool = static_field(default=True)     # double-DQN targets
     # multiplies rewards inside the TD target (reported metrics unscaled)
     reward_scale: float = static_field(default=1.0)
-
-
-def _dense(k, din, dout, dtype=jnp.float32):
-    scale = np.sqrt(2.0 / din)
-    return {"w": jax.random.normal(k, (din, dout), dtype) * scale,
-            "b": jnp.zeros((dout,), dtype)}
+    # replay sampling index mode — see parallel/replay.py: False (default)
+    # samples whole time slices (fast, phase-concentrated per update),
+    # True restores per-env time indices (slower, max phase diversity)
+    per_env_sample: bool = static_field(default=False)
 
 
 def init_qnet(key: jax.Array, obs_dim: int, act_dim: int, n_bins: int,
@@ -166,12 +167,11 @@ def make_dqn_train_step(env: FunctionalEnv, env_params, cfg: DQNConfig,
             done = ts.done
             if done.ndim < reward.ndim:  # agent-axis rewards
                 done = jnp.broadcast_to(done[..., None], reward.shape)
-            slot = written % cfg.capacity
-            tr = {"obs": obs, "act": a, "reward": reward,
-                  "next_obs": next_obs, "done": done.astype(jnp.float32)}
-            buffer = {k: jax.lax.dynamic_update_index_in_dim(
-                buffer[k], tr[k].astype(buffer[k].dtype), slot, axis=0)
-                for k in buffer}
+            buffer = write_transition(
+                buffer,
+                {"obs": obs, "act": a, "reward": reward,
+                 "next_obs": next_obs, "done": done.astype(jnp.float32)},
+                written, cfg.capacity)
             return (states, next_obs, buffer, written + 1), reward.mean()
 
         keys = jax.random.split(key, cfg.rollout_len)
@@ -180,19 +180,9 @@ def make_dqn_train_step(env: FunctionalEnv, env_params, cfg: DQNConfig,
         return env_states, obs, buffer, written, rews.mean()
 
     def sample(buffer, written, key):
-        # shared time-slot sampling: draw batch_per_env ring slots and take
-        # WHOLE (num_envs, ...) slices. Per-env time indices were profiled
-        # at 4 GB/s — take_along_axis gathers feature-dim-wide runs per
-        # (slot, env) pair, the 128-lane-padding poison — and at 47% of
-        # the SAC train step. Whole-slice rows gather at full width, stay
-        # local to each dp shard, and remain statistically sound: envs are
-        # independent (random reset phases), so a time slice IS an iid
-        # batch over envs; the slot draw only correlates WHICH wall-clock
-        # step each env contributes.
-        filled = jnp.minimum(written, cfg.capacity)
-        idx = jax.random.randint(
-            key, (cfg.batch_per_env,), 0, jnp.maximum(filled, 1))
-        return {k: v[idx] for k, v in buffer.items()}
+        return sample_transitions(buffer, written, cfg.capacity,
+                                  cfg.batch_per_env, key,
+                                  per_env_sample=cfg.per_env_sample)
 
     def update(carry, key):
         qnet, target = carry["qnet"], carry["target"]
@@ -262,22 +252,5 @@ def train_dqn(env: FunctionalEnv, env_params, cfg: DQNConfig, key: jax.Array,
     if mesh is not None:
         carry = shard_dqn_carry(carry, mesh)
 
-    step = jax.jit(train_step, donate_argnums=0)
-    history = []
-
-    def fetch(i, metrics):
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        history.append(metrics)
-        if verbose:
-            print(f"iter {i}: " + ", ".join(
-                f"{k}={v:.4f}" for k, v in metrics.items()))
-
-    pending = None
-    for i in range(num_iterations):
-        carry, metrics = step(carry, jax.random.fold_in(k_train, i))
-        if pending is not None:
-            fetch(*pending)
-        pending = (i, metrics)
-    if pending is not None:
-        fetch(*pending)
-    return carry, history
+    return run_train_loop(train_step, carry, k_train, num_iterations,
+                          verbose=verbose)

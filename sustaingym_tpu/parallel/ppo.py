@@ -477,27 +477,9 @@ def train(env: FunctionalEnv, env_params, cfg: PPOConfig, key: jax.Array,
         ds, rep = data_sharding(mesh), replicated(mesh)
         carry = _shard_carry(carry, mesh, ds, rep)
 
-    step = jax.jit(train_step, donate_argnums=0)
-    history = []
-
-    def fetch(i, metrics):
-        # one lagged batched device_get so the host round trip overlaps the
-        # next step's device compute (big win over tunneled devices)
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        history.append(metrics)
-        if verbose:
-            print(f"iter {i}: " + ", ".join(
-                f"{k}={v:.4f}" for k, v in metrics.items()))
-
-    pending = None
-    for i in range(num_iterations):
-        carry, metrics = step(carry, jax.random.fold_in(k_train, i))
-        if pending is not None:
-            fetch(*pending)
-        pending = (i, metrics)
-    if pending is not None:
-        fetch(*pending)
-    return carry, history
+    from .runner import run_train_loop
+    return run_train_loop(train_step, carry, k_train, num_iterations,
+                          verbose=verbose)
 
 
 def carry_shardings(carry_like, mesh, ds, rep):

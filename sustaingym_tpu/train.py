@@ -120,9 +120,13 @@ def main(argv: list[str] | None = None) -> None:
                         hidden=args.hidden, lr=args.lr, gamma=args.gamma)
         init_state, train_step = make_sac_train_step(env, env_params, cfg)
     elif args.algo == "dqn":
+        reward_scale = args.reward_scale
+        if reward_scale is None:
+            reward_scale = 1e-4 if args.env.startswith("cogen") else 1.0
         cfg = DQNConfig(num_envs=args.num_envs,
                         rollout_len=args.rollout_len,
-                        hidden=args.hidden, lr=args.lr, gamma=args.gamma)
+                        hidden=args.hidden, lr=args.lr, gamma=args.gamma,
+                        reward_scale=reward_scale)
         init_state, train_step = make_dqn_train_step(env, env_params, cfg)
     elif args.algo == "ddpg":
         cfg = DDPGConfig(num_envs=args.num_envs,
