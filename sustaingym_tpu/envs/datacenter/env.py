@@ -138,13 +138,30 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
                             "queue": z, "executed": z})
         return state, ts
 
+    @staticmethod
+    def _slab_window(slab: jax.Array, start, length: int) -> jax.Array:
+        """(length,) window of a per-env (..., R) slab via an exact one-hot
+        time contract (each output is one 1.0 * v product). Replaces
+        vmapped dynamic_slice / scalar indexing, whose per-env gathers pad
+        to the 128-lane tile — the same narrow-gather poison profiled on
+        the building/cogen generic paths."""
+        R = slab.shape[-1]
+        w = (jnp.asarray(start, jnp.int32)[..., None, None]
+             + jnp.arange(length)[:, None] == jnp.arange(R)[None, :])
+        return jnp.einsum("...wt,...t->...w", w.astype(slab.dtype), slab,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def step(self, params: DCParams, state: DCState, action: jax.Array,
              key: jax.Array) -> tuple[DCState, TimeStep]:
         del key
-        arrivals = params.arrivals[state.month, state.t]
-        m_t = params.moer[state.month, state.t]
-        fc = jax.lax.dynamic_slice(params.moer[state.month],
-                                   (state.t + 1,), (FORECAST_H,))
+        # two WIDE month-row gathers (672/720 floats — full gather width),
+        # then exact one-hot contracts for the hour's scalars and window
+        arr_slab = params.arrivals[state.month]
+        moer_slab = params.moer[state.month]
+        arrivals = self._slab_window(arr_slab, state.t, 1)[..., 0]
+        m_and_fc = self._slab_window(moer_slab, state.t, FORECAST_H + 1)
+        m_t = m_and_fc[..., 0]
+        fc = m_and_fc[..., 1:]
         return self._step_exog(params, state, action, arrivals, m_t, fc)
 
     def _step_exog(self, params: DCParams, state: DCState, action: jax.Array,
@@ -365,8 +382,7 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
     def _obs(self, params: DCParams, state: DCState) -> jax.Array:
         """(27,) = [a(t-1), d_t, n_waiting, moer forecast 24h]
         (docs/datacenterenv.md:8)."""
-        fc = jax.lax.dynamic_slice(params.moer[state.month],
-                                   (state.t,), (FORECAST_H,))
+        fc = self._slab_window(params.moer[state.month], state.t, FORECAST_H)
         n_waiting = state.queue / AVG_JOB_SIZE
         return jnp.concatenate([
             state.prev_a[None], state.running[None], n_waiting[None], fc,
