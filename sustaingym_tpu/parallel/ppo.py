@@ -393,6 +393,9 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             G = 1
             while G * F < 128 and n % (2 * G) == 0:
                 G *= 2
+            # (G=2 pairing for mid-width rows (EV's F=203) also measured
+            # slower — 5.5M -> 5.1M; the >=128-lane target is the sweet
+            # spot at every F tried)
             n_blocks = n // G
             blocks = packed.reshape(n_blocks, G * F)
             mb_blocks = n_blocks // cfg.minibatches
