@@ -107,3 +107,40 @@ def test_a2c_learns_quadratic_tracking():
     first = np.mean([h["mean_reward"] for h in history[:3]])
     last = np.mean([h["mean_reward"] for h in history[-3:]])
     assert last > first + 0.2, (first, last)
+
+
+def test_replay_sampling_modes():
+    """parallel/replay.py: both index modes return (batch_per_env,
+    num_envs, ...) batches of real ring content; the per-env mode draws
+    a different slot per env (phase diversity), the slot mode one shared
+    slot per row."""
+    import jax.numpy as jnp
+    from sustaingym_tpu.parallel.replay import (init_ring,
+                                                sample_transitions,
+                                                write_transition)
+
+    cap, envs, d = 8, 5, 3
+    buf = init_ring(cap, {"obs": ((envs, d), jnp.float32),
+                          "reward": ((envs,), jnp.float32)})
+    for i in range(cap):
+        buf = write_transition(
+            buf, {"obs": jnp.full((envs, d), float(i)),
+                  "reward": jnp.full((envs,), float(i))},
+            jnp.asarray(i), cap)
+    written = jnp.asarray(cap)
+    for per_env in (False, True):
+        batch = sample_transitions(buf, written, cap, 4,
+                                   jax.random.PRNGKey(0),
+                                   per_env_sample=per_env)
+        assert batch["obs"].shape == (4, envs, d)
+        assert batch["reward"].shape == (4, envs)
+        # every sampled value is a written slot id
+        assert set(np.asarray(batch["reward"]).ravel()) <= set(
+            float(i) for i in range(cap))
+        # obs rows are consistent with their reward's slot
+        np.testing.assert_array_equal(
+            np.asarray(batch["obs"][..., 0]), np.asarray(batch["reward"]))
+    # slot mode: one shared slot per sampled row
+    b = sample_transitions(buf, written, cap, 4, jax.random.PRNGKey(1))
+    r = np.asarray(b["reward"])
+    assert all(len(set(row)) == 1 for row in r)
