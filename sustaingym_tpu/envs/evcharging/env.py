@@ -5,7 +5,8 @@ Rebuilds the reference EVChargingEnv
 the ACN-Sim digital twin (Simulator / ChargingNetwork / Linear2StageBattery /
 EventQueue, env.py:324-328) becomes fixed-size station-slot arrays advanced
 by a pure step function, and the per-step MOSEK projection (env.py:200-221)
-becomes a batched fixed-iteration ADMM kernel (ops/qp.py) running on the MXU.
+becomes a batched fixed-iteration dual-FISTA kernel (ops/qp.py) running on
+the MXU.
 
 Per step (5 simulated minutes):
  1. optional action projection onto the network feasible set;

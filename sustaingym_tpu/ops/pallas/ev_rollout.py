@@ -24,11 +24,14 @@ reshapes, which Mosaic handles without relayouts.
 Measured (batch 16384 x 288 steps, one v5 chip, 2026-08-20):
 - projection OFF: 89.4M env-steps/s (XLA scan: 36.8M) — the event/battery/
   reward chain runs entirely in VMEM;
-- projection ON: 10.0M (XLA scan: 22.5M) — the per-group (64,64)x(64,128)
+- projection ON: 10.0M (XLA scan: 22.5M with the then-default ADMM; 47M+
+  after round 3's dual-FISTA switch) — the per-group (64,64)x(64,128)
   ADMM matmuls pad 54 stations to 64 sublanes and use a quarter of the
   128x128 MXU, whereas XLA batches the identical matmuls over the full env
   batch at near-full tiles. EVChargingEnv.fused_rollout therefore routes
-  projected configs to the XLA lockstep path by default.
+  projected configs to the XLA lockstep path by default; the in-kernel
+  projection implements the legacy ADMM operator only (parity tests pin
+  it via proj_method='admm').
 
 Action sources (mirroring building_rollout):
 - prescribed actions (input block) — the parity tests drive this mode
