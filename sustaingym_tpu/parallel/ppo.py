@@ -15,7 +15,6 @@ the per-env action transform in ``act_transform``.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
