@@ -200,7 +200,13 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
         else:
             zg_new = zg
         if rho != 1.0:
-            # Krasnosel'skii-Mann relaxation of the full PDHG operator
+            # Relaxed combination of the previous and new iterates. NOTE:
+            # the extra re-projection below (maximum(0,.) on duals, clip on
+            # x) makes this a HEURISTIC variant, not the plain
+            # Krasnosel'skii-Mann iteration of the averaged PDHG operator —
+            # the textbook "any rho in (0,2) converges" guarantee does not
+            # strictly apply for rho > 1. Dead by default (rho=1.0) and
+            # measured no-gain; kept only for experimentation.
             x_new = x + rho * (x_new - x)
             y_new = y + rho * (y_new - y)
             zp_new = jnp.maximum(0.0, zp + rho * (zp_new - zp)) if ms else zp

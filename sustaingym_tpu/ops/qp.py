@@ -142,6 +142,18 @@ def make_dual_soc_projection(constraint_matrix: np.ndarray,
       test_dual_projection_stress_battery) and roughly halves the
       iterations needed for a given accuracy.
     """
+    if not restart and step_scale is not None and step_scale > 1.0:
+        # the overstep is only validated stable WITH gradient restart (see
+        # docstring); without it the 2x step can 2-cycle on adversarial
+        # batteries — fall back to the provable spectral step instead of
+        # silently building a divergent projector
+        import warnings
+        warnings.warn(
+            f"make_dual_soc_projection: step_scale={step_scale} without "
+            f"restart is not validated stable; falling back to the provable "
+            f"spectral step (step_scale=None). Pass step_scale explicitly "
+            f"<= 1.0 to silence.", stacklevel=2)
+        step_scale = None
     C = _interleaved_C(constraint_matrix, phase_angles_deg)
     m = C.shape[0] // 2
     radii = np.asarray(magnitudes, dtype=np.float64) / action_scale

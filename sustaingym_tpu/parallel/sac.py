@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core import FunctionalEnv, autoreset_step
+from ..core import FunctionalEnv, autoreset_vstep
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
 from .replay import sample_transitions, write_transition
@@ -53,7 +53,11 @@ class SACConfig:
     target_entropy: float | None = static_field(default=None)
     # replay sampling index mode — see parallel/replay.py: False (default)
     # samples whole time slices (fast, phase-concentrated per update),
-    # True restores per-env time indices (slower, max phase diversity)
+    # True restores per-env time indices (slower, max phase diversity).
+    # BEHAVIOR CHANGE (round 3): the default flipped False; with lockstep
+    # autoreset each update batch then covers batch_per_env in-episode
+    # phases instead of batch_per_env*num_envs. Set True to reproduce
+    # pre-round-3 SAC training statistics exactly.
     per_env_sample: bool = static_field(default=False)
 
 
@@ -137,8 +141,7 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
             f"{env.name}: heterogeneous per-agent action dims are only "
             "supported by the PPO learner (stacked per-agent policies); "
             "use --algo ppo")
-    step_fn = autoreset_step(env)
-    vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
+    vstep = autoreset_vstep(env)
     ma = bool(getattr(env, "agent_axis", False))
     if ma and obs_fn is None:
         obs_fn = lambda o: jnp.asarray(o, jnp.float32)  # noqa: E731
