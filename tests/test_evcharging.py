@@ -8,6 +8,8 @@ against hand-walked traces.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -528,13 +530,13 @@ def test_gmm_bank_matches_reference_sampler_distribution():
 
     # fresh reference-style draws (different seed stream than the bank)
     data = load_gmm("caltech", "Summer 2021", 30)
-    gmm, cnt = data["gmm"], np.asarray(data["count"])
+    cnt = np.asarray(data["count"])
     usage = np.asarray(data["station_usage"], dtype=np.float64)
-    rng = np.random.default_rng(987654)
     fresh = []
-    for _ in range(60):
+    for d in range(60):
+        rng = np.random.default_rng(987654 + d)
         n = int(rng.choice(cnt))
-        s = _sample_sessions(gmm, n, rng)
+        s = _sample_sessions(data, n, 987654 + d)
         st = _assign_stations(s, usage, rng)
         fresh.append(s[st >= 0])
     fresh = np.concatenate(fresh)
@@ -545,6 +547,93 @@ def test_gmm_bank_matches_reference_sampler_distribution():
     # generous alpha: these are two finite draws of the same distribution
     assert ks_arr.pvalue > 1e-3, (ks_arr, len(bank_arr), len(fresh))
     assert ks_req.pvalue > 1e-3, (ks_req,)
+
+
+def test_gmm_sampler_bit_exact_vs_sklearn():
+    """The sklearn-free sampler reproduces the reference's GMM day
+    BIT-EXACTLY: runs the reference's _create_events algorithm
+    (event_generation.py:416-515) with the REAL sklearn GaussianMixture
+    object from the packaged pickle, and compares against this repo's
+    replica (sample_gmm + _sample_sessions + _assign_stations) under the
+    same seed. Covers the multinomial/MVN RandomState call sequence, the
+    fresh-RandomState-per-sample-call quirk, the pandas quicksort tie
+    order, and the Generator station-choice stream."""
+    pickle_path = os.path.join(
+        "/root/reference/sustaingym/data/evcharging/gmms/caltech",
+        "2021-05-01 2021-08-31 30.pkl")
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841 (unpickle needs it)
+    if not os.path.exists(pickle_path):
+        pytest.skip("reference GMM pickle not available")
+    import pickle
+    import warnings
+
+    from sustaingym_tpu.data.ev_gmm import (_assign_stations,
+                                            _sample_sessions, load_gmm,
+                                            sample_gmm)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with open(pickle_path, "rb") as f:
+            ref = pickle.load(f)
+    gmm, cnt = ref["gmm"], np.asarray(ref["count"])
+    usage = np.asarray(ref["station_usage"], dtype=np.float64)
+    MINS_IN_DAY, PERIOD, ESCALE = 1440, 5, 100.0
+
+    for seed in (0, 7, 12345):
+        # --- reference algorithm, real sklearn object -------------------
+        gmm.set_params(random_state=seed)
+        rng = np.random.default_rng(seed)
+        n = int(rng.choice(cnt))
+        all_s, total = [], 0
+        while total < n:
+            s = gmm.sample(int(n * 1.2))[0]
+            s = s[(0 <= s[:, 0]) & (s[:, 1] < 1) & (s[:, 2] < 1)
+                  & (s[:, 3] >= 0)]
+            s[:, [0, 1, 2]] = MINS_IN_DAY * s[:, [0, 1, 2]] // PERIOD
+            s = s[(s[:, 0] < s[:, 1]) & (s[:, 0] < s[:, 2])]
+            s[:, 3] *= ESCALE
+            all_s.append(s)
+            total += len(s)
+        ref_samples = np.concatenate(all_s)[:n]
+        # station assignment: pandas sort_values('arrival') == quicksort
+        order = np.argsort(ref_samples[:, 0].astype(np.int64),
+                           kind="quicksort")
+        probs = usage / usage.sum()
+        station_dep = np.full(len(usage), -1, dtype=np.int32)
+        ref_assigned = np.full(n, -1, dtype=np.int64)
+        for i in order:
+            avail = np.where(station_dep < ref_samples[i, 0])[0]
+            if len(avail) == 0:
+                continue
+            ps = probs[avail].sum()
+            if ps <= 1e-5:
+                idx = rng.choice(avail)
+            else:
+                idx = rng.choice(avail, p=probs[avail] / ps)
+            station_dep[idx] = max(ref_samples[i, 1], station_dep[idx])
+            ref_assigned[i] = idx
+
+        # --- this repo's sklearn-free replica ---------------------------
+        data = load_gmm("caltech", "Summer 2021", 30)
+        # npz export content == pickle content
+        np.testing.assert_array_equal(data["count"], cnt)
+        np.testing.assert_array_equal(data["station_usage"], usage)
+        np.testing.assert_array_equal(data["weights"], gmm.weights_)
+        np.testing.assert_array_equal(data["means"], gmm.means_)
+        np.testing.assert_array_equal(data["covariances"], gmm.covariances_)
+        rng2 = np.random.default_rng(seed)
+        n2 = int(rng2.choice(data["count"]))
+        assert n2 == n
+        mine = _sample_sessions(data, n2, seed)
+        st = _assign_stations(mine, usage, rng2)
+
+        np.testing.assert_array_equal(mine, ref_samples)
+        np.testing.assert_array_equal(st, ref_assigned)
+        # raw sklearn sample() vs replica, pre-filtering
+        raw_ref = gmm.sample(max(n, 8))[0]
+        raw_mine = sample_gmm(data["weights"], data["means"],
+                              data["covariances"], max(n, 8), seed)
+        np.testing.assert_array_equal(raw_mine, raw_ref)
 
 
 def test_batch_unroll_matches_generic(env_and_params):
