@@ -142,3 +142,29 @@ def test_fused_rollout_matches_step_loop():
         np.testing.assert_allclose(np.asarray(fast.info[k]),
                                    np.asarray(ref.info[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_arrival_trace_calibration():
+    """Pins the synthetic Google-cluster-like arrival trace's summary
+    statistics (docs/datacenterenv.md trace description) so refactors
+    cannot silently change episode difficulty: diurnal peak at 14:00,
+    business-hours weekday/weekend split, daily peak/mean ratio, and mean
+    utilization ~0.45 C (round-3 verdict item 8)."""
+    from sustaingym_tpu.envs.datacenter.env import (EPISODE_LEN,
+                                                    _synthesize_arrivals)
+
+    arr = _synthesize_arrivals(28)
+    hod = np.arange(EPISODE_LEN) % 24
+    dow = (np.arange(EPISODE_LEN) // 24) % 7
+    hod_mean = np.array([arr[:, hod == h].mean() for h in range(24)])
+    # diurnal peak lands in the 14:00-15:00 business-afternoon bucket
+    assert int(hod_mean.argmax()) in (14, 15), hod_mean.argmax()
+    # weekday load ~36% above weekend (weekday factor 1.0 vs 0.72)
+    wk_we = arr[:, dow < 5].mean() / arr[:, dow >= 5].mean()
+    assert 1.25 < wk_we < 1.45, wk_we
+    # daily peak/mean ratio of a diurnal trace with bursts
+    daily = arr.reshape(28, -1, 24)
+    pk = float((daily.max(-1) / daily.mean(-1)).mean())
+    assert 1.35 < pk < 1.75, pk
+    # mean utilization vs capacity C=1
+    assert 0.40 < float(arr.mean()) < 0.52, arr.mean()

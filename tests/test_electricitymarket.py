@@ -344,3 +344,28 @@ def test_lp_bf16_prices():
     err = np.abs(prices[True] - prices[False])
     assert err.mean() < 0.25, (err.mean(), err.max())
     assert err.max() < 2.0, (err.mean(), err.max())
+
+
+def test_demand_trace_calibration():
+    """Pins the synthetic CAISO-shaped demand trace's summary statistics
+    (docs/electricitymarketenv.md demand description): evening peak near
+    19:00, peak/mean ratio, and winter/summer seasonal level — so a
+    refactor cannot silently change market tightness (round-3 verdict
+    item 8)."""
+    from sustaingym_tpu.envs.electricitymarket.env import _synthesize_load
+
+    load = _synthesize_load(30, 5)
+    assert load.shape == (30, 289)
+    prof = load.mean(axis=0)
+    peak_hour = prof.argmax() * 24.0 / (len(prof) - 1)
+    assert 17.5 <= peak_hour <= 20.5, peak_hour
+    pk = float(prof.max() / prof.mean())
+    assert 1.1 < pk < 1.4, pk
+    # seasonal modulation: January demand ~78% of July's
+    jan = _synthesize_load(30, 1).mean()
+    jul = _synthesize_load(30, 7).mean()
+    assert 0.70 < jan / jul < 0.88, jan / jul
+    # always inside the generator's own clip band (feasible vs PEAK_LOAD)
+    from sustaingym_tpu.envs.electricitymarket import network as net_mod
+    assert load.max() <= 0.95 * net_mod.PEAK_LOAD_MW + 1e-6
+    assert load.min() >= 0.35 * net_mod.PEAK_LOAD_MW - 1e-6
