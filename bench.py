@@ -162,12 +162,15 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
 
 def bench_train(env_name: str = "building", num_envs: int = 4096,
                 rollout_len: int = 64, iters: int = 5,
-                algo: str = "ppo") -> dict:
+                algo: str = "ppo", metric_name: str | None = None,
+                **make_kwargs) -> dict:
     """Fused train-step throughput (rollout + update as ONE program) — the
     learner-side counterpart of the env rollouts. ``algo``: 'ppo' (rollout
-    + GAE + block-shuffled 4x8 minibatch epochs; 11.3M env-steps/s at
-    4096x64 on one v5 chip) or 'sac' (off-policy on-device replay ring +
-    16 twin-critic gradient steps per train step)."""
+    + GAE + block-shuffled minibatch epochs) or 'sac' (off-policy
+    on-device replay ring + twin-critic gradient steps). For agent-axis
+    multi-agent envs the value is AGENT-steps/s (env-steps x n_agents),
+    matching the RLLib multi-agent accounting the line replaces
+    (reference examples/evcharging/train_rllib.py:157-160)."""
     import jax
 
     from sustaingym_tpu import make
@@ -175,7 +178,7 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
                                          make_sac_train_step,
                                          make_train_step)
 
-    env, params = make(env_name)
+    env, params = make(env_name, **make_kwargs)
     if algo == "sac":
         cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len)
         init_state, train_step = make_sac_train_step(env, params, cfg)
@@ -191,13 +194,65 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
         carry, m = step(carry, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / iters
-    return {
-        "metric": f"{algo}_{env_name}_train_env_steps_per_s_per_chip",
-        "value": round(num_envs * rollout_len / dt, 1),
-        "unit": "env-steps/s",
+    # agent-axis views: action/obs spaces lead with the agent axis
+    n_agents = (int(env.action_space(params).shape[0])
+                if getattr(env, "agent_axis", False) else 1)
+    unit = "agent-steps/s" if n_agents > 1 else "env-steps/s"
+    result = {
+        "metric": (metric_name
+                   or f"{algo}_{env_name}_train_env_steps_per_s_per_chip"),
+        "value": round(num_envs * rollout_len * max(n_agents, 1) / dt, 1),
+        "unit": unit,
         "batch": num_envs,
         "rollout_len": rollout_len,
         "device": str(jax.devices()[0]),
+        "vs_baseline": None,
+    }
+    if n_agents > 1:
+        result["n_agents"] = n_agents
+    return result
+
+
+def bench_scaling_virtual(n_devices: int = 8) -> dict | None:
+    """Weak-scaling efficiency of the sharded PPO program on a VIRTUAL
+    n-device CPU mesh, run in a subprocess (the current process owns the
+    TPU backend). Virtual CPU devices share physical cores, so the number
+    validates the sharded program + collective layout, NOT real-chip
+    efficiency — labeled accordingly (BASELINE.md scaling metric;
+    hardware-blocked for real multi-chip here)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          f" --xla_force_host_platform_device_count={n_devices}"))
+    cmd = [sys.executable, "-m", "sustaingym_tpu.bench.scaling",
+           "--devices", "1", str(n_devices), "--num-envs", "64",
+           "--rollout-len", "16", "--iters", "3"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=900, env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    eff = None
+    for line in out.stdout.splitlines():
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "scaling_efficiency" in d:
+            eff = d
+    if eff is None:
+        return None
+    return {
+        "metric": "ppo_building_weak_scaling_efficiency_virtual",
+        "value": eff["scaling_efficiency"],
+        "unit": f"efficiency_1_to_{eff['devices']}_devices",
+        "device": f"{eff['devices']} virtual CPU devices (shared cores; "
+                  "validates sharded program, not real-chip efficiency)",
         "vs_baseline": None,
     }
 
@@ -305,6 +360,26 @@ SUITE_BATCH = {
 }
 
 
+def _stamp_expected(result: dict) -> dict:
+    """Marks a suite line that fell under its committed per-metric floor
+    (bench_expected.json, ~15% under the N=5 means of record) — the
+    regression guard from the round-3 verdict: a degraded run shows up in
+    the same JSON the driver records, not one round later."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_expected.json")
+    try:
+        with open(path) as f:
+            floors = json.load(f)
+    except OSError:
+        return result
+    floor = floors.get(result.get("metric"))
+    if floor is not None and result.get("value", 0) < floor:
+        result["below_expected"] = True
+        result["expected_min"] = floor
+    return result
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="all",
@@ -350,11 +425,30 @@ def main() -> None:
                             profile_dir=args.profile,
                             repeats=2 if args.env == "all" else 3,
                             project_action=args.project_action)
-        print(json.dumps(result), flush=True)
+        # floors only apply to the suite-default config the driver runs
+        print(json.dumps(_stamp_expected(result) if args.env == "all"
+                         else result), flush=True)
     if args.env == "all":
-        # learner-side lines: fused PPO and SAC train steps
-        print(json.dumps(bench_train(algo="ppo")), flush=True)
-        print(json.dumps(bench_train(algo="sac")), flush=True)
+        # learner-side lines: fused train steps on every env (round-3
+        # verdict: no headline number may live only in docs tables)
+        print(json.dumps(_stamp_expected(bench_train(algo="ppo"))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(algo="sac"))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "evcharging", algo="ppo", project_action=True))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "cogen", algo="ppo"))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "datacenter", algo="ppo"))), flush=True)
+        # BASELINE.json configs[4]: multi-agent EV shared-policy PPO
+        # (agent-steps/s; 512 envs x 54 station-agents)
+        print(json.dumps(_stamp_expected(bench_train(
+            "evcharging-multiagent", num_envs=512, algo="ppo",
+            metric_name="ppo_ma_evcharging_train_agent_steps_per_s_per_chip",
+            project_action=False, periods_delay=0))), flush=True)
+        # sharded-program weak-scaling validation line (virtual devices)
+        scal = bench_scaling_virtual(8)
+        if scal is not None:
+            print(json.dumps(scal), flush=True)
 
 
 if __name__ == "__main__":
