@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core import FunctionalEnv, autoreset_step
+from ..core import FunctionalEnv, autoreset_vstep
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
 from .replay import sample_transitions, write_transition
@@ -73,8 +73,7 @@ def make_ddpg_train_step(env: FunctionalEnv, env_params, cfg: DDPGConfig,
         raise ValueError(
             f"{env.name}: heterogeneous per-agent action dims are only "
             "supported by the PPO learner; use --algo ppo")
-    step_fn = autoreset_step(env)
-    vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
+    vstep = autoreset_vstep(env)
     ma = bool(getattr(env, "agent_axis", False))
     if ma and obs_fn is None:
         obs_fn = lambda o: jnp.asarray(o, jnp.float32)  # noqa: E731

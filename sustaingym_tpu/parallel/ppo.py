@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core import FunctionalEnv, autoreset_step, flatten
+from ..core import FunctionalEnv, autoreset_vstep, flatten
 from ..core.spaces import Discrete, MultiDiscrete
 from ..core.struct import dataclass, static_field
 
@@ -171,8 +171,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         raise ValueError(env.ppo_incompatible)
     if cfg.algo not in ("ppo", "a2c"):
         raise ValueError(f"unknown on-policy algo {cfg.algo!r}")
-    step_fn = autoreset_step(env)
-    vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0))
+    vstep = autoreset_vstep(env)
     # multi-agent views (env.agent_axis): obs are already flat float arrays
     # with an (n_agents, D) leading axis; the shared policy treats the agent
     # axis as extra batch and act_dim is PER AGENT (the reference trains one
@@ -268,11 +267,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 "env_states": states, "obs": obs}
 
     def rollout(policy, env_states, obs, key):
-        def body(carry, key_t):
+        def body(carry, keys_t):
             states, obs = carry
-            k_act, k_env = jax.random.split(key_t)
+            k_act, env_keys = keys_t[0], keys_t[1:]
             u, logp, value, action = sample_action(policy, obs, k_act)
-            env_keys = jax.random.split(k_env, cfg.num_envs)
             states, ts = vstep(env_params, states, action, env_keys)
             next_obs = jax.vmap(obs_fn)(ts.obs)
             done = ts.done
@@ -282,7 +280,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                    "reward": ts.reward, "done": done}
             return (states, next_obs), out
 
-        keys = jax.random.split(key, cfg.rollout_len)
+        # ONE key split for the whole rollout instead of 2 splits per scan
+        # step (T kernel launches of B splits measured ~20% of the rollout
+        # at 4096x64); row t = [action key, env key x num_envs]
+        keys = jax.random.split(
+            key, cfg.rollout_len * (cfg.num_envs + 1)).reshape(
+            cfg.rollout_len, cfg.num_envs + 1, 2)
         (env_states, obs), traj = jax.lax.scan(
             body, (env_states, obs), keys)
         _, _, last_value = apply_fn(policy, obs)
@@ -390,7 +393,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             # update is matmul-bound — 128 is the sweet spot.)
             F = int(packed.shape[1])
             G = 1
-            while G * F < 128 and n % (2 * G) == 0:
+            # bound block growth by the minibatch count: growing G past
+            # n // minibatches blocks would leave mb_blocks == 0 and drop
+            # EVERY sample each epoch (seen with tiny debug configs, e.g.
+            # num_envs=4 x rollout_len=4 with minibatches=8)
+            while (G * F < 128 and n % (2 * G) == 0
+                   and n // (2 * G) >= cfg.minibatches):
                 G *= 2
             # (G=2 pairing for mid-width rows (EV's F=203) also measured
             # slower — 5.5M -> 5.1M; the >=128-lane target is the sweet
@@ -400,6 +408,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             mb_blocks = n_blocks // cfg.minibatches
             mb = mb_blocks * G
             dropped = n - mb * cfg.minibatches
+        if dropped == n:
+            raise ValueError(
+                f"PPO minibatching would drop ALL {n} samples per epoch: "
+                f"rollout_len*num_envs[*n_agents]={n} yields fewer than "
+                f"minibatches={cfg.minibatches} rows. Lower minibatches or "
+                f"raise num_envs/rollout_len.")
         if dropped:
             # n is static at trace time, so this warns once per compile (the
             # SURVEY "no silent caps" rule): with agent-axis envs n is rarely
