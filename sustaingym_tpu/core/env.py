@@ -129,9 +129,18 @@ def autoreset_vstep(env: FunctionalEnv[P, S]
     all selected values are IDENTICAL to ``vmap(autoreset_step(env))`` —
     trajectories stay bit-exact; only the dead reset work is skipped.
 
+    Envs can opt out with ``gate_autoreset = False`` (class attribute):
+    for fine-grained steps the per-step branch dispatch costs more than
+    the dead reset work it skips — cogen (96-step episodes, ~43us step
+    grain at 4096 envs) measured 7.6M -> 6.0M PPO env-steps/s gated,
+    while building/datacenter gain 6-13%. The cond also blocks XLA from
+    CSEing work shared between step and reset.
+
     Args are batched: states/actions/keys carry a leading batch axis;
     ``params`` is shared.
     """
+    if not getattr(env, "gate_autoreset", True):
+        return jax.vmap(autoreset_step(env), in_axes=(None, 0, 0, 0))
     vstep = jax.vmap(env.step, in_axes=(None, 0, 0, 0))
     vreset = jax.vmap(env.reset, in_axes=(None, 0))
 

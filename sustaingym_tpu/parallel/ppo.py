@@ -362,20 +362,27 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 "adv": advs.reshape(n),
                 "ret": rets.reshape(n),
             }
+            u_dtype = flat["u"].dtype
+            obs_w = int(flat["obs"].shape[1])
+            u_w = int(flat["u"].shape[1])
+            F = obs_w + u_w + 3
             # pack every per-sample field into ONE (n, F) array so each
             # epoch shuffles with a single wide gather: per-minibatch
             # gathers of 10-40 byte rows profiled at 5.5 GB/s (~32x read
             # amplification from lane padding) and were 69% of the whole
-            # train step's device time
-            fields = [("obs", flat["obs"].shape[1]),
-                      ("u", flat["u"].shape[1]),
+            # train step's device time. (An "index" strategy — leave obs
+            # unmaterialized and row-gather per minibatch — measured WORSE
+            # for wide rows too: 53 GB/s on EV's 1 KB rows; TPU gather cost
+            # is per-index, so the same index count split across
+            # minibatches loses to one big gather. Round-4 negative
+            # result.)
+            fields = [("obs", obs_w), ("u", u_w),
                       ("logp", 1), ("adv", 1), ("ret", 1)]
             packed = jnp.concatenate(
                 [flat["obs"].astype(jnp.float32),
                  flat["u"].astype(jnp.float32),
                  flat["logp"][:, None], advs.reshape(n, 1),
                  rets.reshape(n, 1)], axis=1)
-            u_dtype = flat["u"].dtype
 
         if fields is None:
             # per-agent path: rows are (n_agents, ...) slabs, wide enough
@@ -383,26 +390,28 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             mb = n // cfg.minibatches
             dropped = n - mb * cfg.minibatches
         else:
-            # shuffle BLOCKS of G adjacent samples so each gather row is
-            # >=128 lanes (G * F floats). Flat order is (time, env): G
-            # adjacent rows are G INDEPENDENT envs at the same timestep,
-            # so block shuffling costs nothing statistically — blocks land
-            # in random minibatches, and their members are iid envs.
-            # (A larger 512-float target was measured SLOWER on building
-            # (13.4M -> 10.3M) and ~neutral on agent-axis MA-EV, whose
-            # update is matmul-bound — 128 is the sweet spot.)
-            F = int(packed.shape[1])
+            # shuffle BLOCKS of G adjacent samples. Flat order is
+            # (time, env): G adjacent rows are G INDEPENDENT envs at the
+            # same timestep, so block shuffling costs nothing statistically
+            # — blocks land in random minibatches, and their members are
+            # iid envs. Gather cost on TPU is dominated by the per-index
+            # overhead (~10 ns/row: a 262144-row shuffle of 1 KB rows ran
+            # at 125 GB/s), so larger contiguous blocks are strictly
+            # cheaper until minibatch granularity suffers. Round-4 sweep:
+            # wide rows (EV F=260) 128->2048-float target = 5.8 -> 6.8M
+            # env-steps/s; narrow rows (building F=22) best at 512
+            # (14.5M vs 13.9M at 128). The round-3 'G=2 slower on EV' note
+            # predates the gated autoreset + one-shot key split and no
+            # longer reproduces.
             G = 1
+            target = 2048 if F >= 128 else 512
             # bound block growth by the minibatch count: growing G past
             # n // minibatches blocks would leave mb_blocks == 0 and drop
             # EVERY sample each epoch (seen with tiny debug configs, e.g.
             # num_envs=4 x rollout_len=4 with minibatches=8)
-            while (G * F < 128 and n % (2 * G) == 0
+            while (G * F < target and n % (2 * G) == 0
                    and n // (2 * G) >= cfg.minibatches):
                 G *= 2
-            # (G=2 pairing for mid-width rows (EV's F=203) also measured
-            # slower — 5.5M -> 5.1M; the >=128-lane target is the sweet
-            # spot at every F tried)
             n_blocks = n // G
             blocks = packed.reshape(n_blocks, G * F)
             mb_blocks = n_blocks // cfg.minibatches
