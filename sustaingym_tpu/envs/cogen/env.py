@@ -79,6 +79,14 @@ class CogenState:
     day: jax.Array          # int32
     t: jax.Array            # int32
     prev_action: jax.Array  # (15,)
+    # the episode's channel-major ambient day slab (7, 96+H+1), gathered
+    # ONCE at reset and ROLLED one column left per step so that column 0 is
+    # always the current time: the now-row and the (h+1)-wide forecast
+    # window become STATIC slices. The previous design re-gathered the wide
+    # day row per env per step and extracted windows with one-hot einsum
+    # contracts — together 7.4ms of a 29.6ms PPO train step (xprof round
+    # 4); the roll is a 2.8KB contiguous copy per env per step instead.
+    slab: jax.Array
 
 
 def make_params(renewables_magnitude: float = 0.0,
@@ -141,12 +149,11 @@ def dyn_constraint_violation(x: jax.Array, y: jax.Array) -> jax.Array:
 
 class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
     name = "cogen"
-    # elementwise autoreset beats the gated cond here: the 96-step episode
-    # and fine step grain make the per-step branch dispatch cost more than
-    # the dead reset work it skips, and reset shares the ambient day-row
-    # gather with step (XLA CSEs it when both run unconditionally) —
-    # measured 7.6M vs 6.0M PPO env-steps/s (see core.env.autoreset_vstep)
-    gate_autoreset = False
+    # NOTE: with the rolled state slab, reset is the expensive side (wide
+    # ambients_cm day gather) and the step is cheap — the gated autoreset
+    # (core.env.autoreset_vstep default) measured 11-12M vs 10.4M ungated
+    # PPO env-steps/s. (Before the slab moved into the state the tradeoff
+    # pointed the other way: 7.6M ungated vs 6.0M gated.)
 
     # ---- seeding --------------------------------------------------------
     @staticmethod
@@ -194,21 +201,22 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         return jnp.einsum("...wt,...ct->...wc", w.astype(slab.dtype), slab,
                           precision=jax.lax.Precision.HIGHEST)
 
-    def _forecast(self, params: CogenParams, day: jax.Array, t: jax.Array,
-                  key: jax.Array, slab: jax.Array | None = None) -> jax.Array:
+    def _forecast(self, params: CogenParams, key: jax.Array,
+                  slab: jax.Array) -> jax.Array:
         """(H+1, 7) forecast slice with iid Gaussian noise on future rows
-        (env.py:145-162)."""
+        (env.py:145-162). ``slab`` is (7, rows) aligned so column 0 is the
+        current time — the window is a static slice, and the noise lands
+        via concatenate (the .at[1:].add scatter measured 3ms/step on the
+        PPO rollout)."""
         h = params.forecast_horizon
-        if slab is None:
-            slab = self._day_slab(params, day)
-        window = self._slab_window(params, slab, t)
+        window = jnp.swapaxes(slab[..., :h + 1], -1, -2)   # (h+1, 7)
         noise = params.forecast_noise_std * jax.random.normal(
             key, (h, 7), dtype=window.dtype)
-        return window.at[1:].add(noise)
+        return jnp.concatenate([window[:1], window[1:] + noise], axis=0)
 
     def _obs(self, params: CogenParams, state: CogenState, key: jax.Array,
-             slab: jax.Array | None = None) -> dict[str, jax.Array]:
-        f = self._forecast(params, state.day, state.t, key, slab=slab)
+             slab: jax.Array) -> dict[str, jax.Array]:
+        f = self._forecast(params, key, slab)
         dtype = params.ambients.dtype
         obs = {
             "Time": (state.t / params.timesteps_per_day).astype(dtype)[None],
@@ -230,8 +238,9 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         day = jnp.asarray(day, jnp.int32)
         state = CogenState(
             day=day, t=jnp.zeros((), jnp.int32),
-            prev_action=self.sample_action(params, kact))
-        obs = self._obs(params, state, kobs)
+            prev_action=self.sample_action(params, kact),
+            slab=self._day_slab(params, day))
+        obs = self._obs(params, state, kobs, state.slab)
         dtype = params.ambients.dtype
         ts = TimeStep(obs=obs, reward=jnp.zeros((), dtype),
                       terminated=jnp.zeros((), bool),
@@ -246,16 +255,17 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
 
         # reward is computed against the CURRENT (pre-step) true ambient row
         # (env.py:370: _compute_reward(self.obs, action); forecast row 0 is
-        # noise-free). ONE wide day-slab gather serves both the now-row and
-        # the next obs window.
-        slab = self._day_slab(params, state.day)
-        ambient_now = self._slab_window(params, slab, state.t)[0]
+        # noise-free). The rolled state slab serves the now-row and the
+        # next obs window as static slices — no per-step gather.
+        ambient_now = state.slab[..., 0]
+        slab_next = jnp.roll(state.slab, -1, axis=-1)
         reward, info = self._step_core(params, state.prev_action, action,
                                        ambient_now)
 
         t_next = state.t + 1
-        new_state = CogenState(day=state.day, t=t_next, prev_action=action)
-        obs = self._obs(params, new_state, key, slab=slab)
+        new_state = CogenState(day=state.day, t=t_next,
+                               prev_action=action, slab=slab_next)
+        obs = self._obs(params, new_state, key, slab_next)
         terminated = t_next >= params.timesteps_per_day
 
         ts = TimeStep(

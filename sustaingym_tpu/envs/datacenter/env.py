@@ -59,6 +59,11 @@ class DCState:
     running: jax.Array     # executed load last hour (d_t)
     day_vcc_sum: jax.Array   # sum of VCC over current day
     day_arrivals: jax.Array  # job-hours enqueued over current day
+    # the episode's month rows, gathered ONCE at reset: the generic step
+    # re-gathered both rows per env per step (4096 envs x 2.8KB x 64 steps
+    # = 28% of a PPO train step, xprof round 4); they only change at reset
+    arr_slab: jax.Array    # (672,) this month's arrival row
+    moer_slab: jax.Array   # (696,) this month's MOER row
 
 
 def _months() -> list[tuple[int, int]]:
@@ -126,11 +131,14 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
                        ) -> tuple[DCState, TimeStep]:
         dtype = params.moer.dtype
         z = jnp.zeros((), dtype)
+        month = jnp.asarray(month, jnp.int32)
         state = DCState(
-            month=jnp.asarray(month, jnp.int32),
+            month=month,
             t=jnp.zeros((), jnp.int32),
             queue=z, prev_a=jnp.ones((), dtype), running=z,
-            day_vcc_sum=z, day_arrivals=z)
+            day_vcc_sum=z, day_arrivals=z,
+            arr_slab=params.arrivals[month],
+            moer_slab=params.moer[month])
         ts = TimeStep(obs=self._obs(params, state), reward=z,
                       terminated=jnp.zeros((), bool),
                       truncated=jnp.zeros((), bool),
@@ -154,12 +162,12 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
     def step(self, params: DCParams, state: DCState, action: jax.Array,
              key: jax.Array) -> tuple[DCState, TimeStep]:
         del key
-        # two WIDE month-row gathers (672/720 floats — full gather width),
-        # then exact one-hot contracts for the hour's scalars and window
-        arr_slab = params.arrivals[state.month]
-        moer_slab = params.moer[state.month]
-        arrivals = self._slab_window(arr_slab, state.t, 1)[..., 0]
-        m_and_fc = self._slab_window(moer_slab, state.t, FORECAST_H + 1)
+        # the month rows live in the state (gathered once at reset); the
+        # step only does exact one-hot contracts for the hour's scalars
+        # and the now+forecast window
+        arrivals = self._slab_window(state.arr_slab, state.t, 1)[..., 0]
+        m_and_fc = self._slab_window(state.moer_slab, state.t,
+                                     FORECAST_H + 1)
         m_t = m_and_fc[..., 0]
         fc = m_and_fc[..., 1:]
         return self._step_exog(params, state, action, arrivals, m_t, fc)
@@ -196,7 +204,8 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
             month=state.month, t=t_next, queue=queue, prev_a=a,
             running=executed,
             day_vcc_sum=jnp.where(day_boundary, 0.0, day_vcc_sum),
-            day_arrivals=jnp.where(day_boundary, 0.0, day_arrivals))
+            day_arrivals=jnp.where(day_boundary, 0.0, day_arrivals),
+            arr_slab=state.arr_slab, moer_slab=state.moer_slab)
         obs = jnp.concatenate([
             a[None], executed[None], (queue / AVG_JOB_SIZE)[None], fc,
         ]).astype(dtype)
@@ -382,7 +391,7 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
     def _obs(self, params: DCParams, state: DCState) -> jax.Array:
         """(27,) = [a(t-1), d_t, n_waiting, moer forecast 24h]
         (docs/datacenterenv.md:8)."""
-        fc = self._slab_window(params.moer[state.month], state.t, FORECAST_H)
+        fc = self._slab_window(state.moer_slab, state.t, FORECAST_H)
         n_waiting = state.queue / AVG_JOB_SIZE
         return jnp.concatenate([
             state.prev_a[None], state.running[None], n_waiting[None], fc,

@@ -123,8 +123,6 @@ class MultiAgentCogenEnv(FunctionalEnv):
     Obs: (4, obs_flat_dim) global; rewards: (4,) per-agent costs."""
 
     name = "cogen-multiagent"
-    # same step grain as the base cogen env — see CogenEnv.gate_autoreset
-    gate_autoreset = False
     agent_axis = True
     # heterogeneous per-agent action dims (4/4/4/3): the native learner must
     # stack per-agent policy params and mask the padded slot rather than

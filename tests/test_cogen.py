@@ -116,9 +116,11 @@ def test_obs_forecast_crosses_midnight(env_and_params):
     env, params = env_and_params
     k = jax.random.PRNGKey(0)
     state, _ = env.reset_at_day(params, 10, k, k)
-    state = state.replace(t=jnp.asarray(95, jnp.int32))
+    # the state slab is rolled so column 0 tracks t: align it for t=95
+    state = state.replace(t=jnp.asarray(95, jnp.int32),
+                          slab=jnp.roll(state.slab, -95, axis=-1))
     noiseless = cogen.make_params(forecast_horizon=3, forecast_noise_std=0.0)
-    obs = env._obs(noiseless, state, k)
+    obs = env._obs(noiseless, state, k, state.slab)
     amb = np.asarray(noiseless.ambients)
     np.testing.assert_allclose(np.asarray(obs["TAMB"])[1:],
                                amb[10, 96:99, 0], rtol=1e-6)
