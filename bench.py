@@ -163,6 +163,7 @@ def bench_fused(env_name: str, batch: int, steps: int, repeats: int = 3,
 def bench_train(env_name: str = "building", num_envs: int = 4096,
                 rollout_len: int = 64, iters: int = 5,
                 algo: str = "ppo", metric_name: str | None = None,
+                minibatches: int | None = None, obs_bf16: bool = False,
                 **make_kwargs) -> dict:
     """Fused train-step throughput (rollout + update as ONE program) — the
     learner-side counterpart of the env rollouts. ``algo``: 'ppo' (rollout
@@ -183,7 +184,9 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
         cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len)
         init_state, train_step = make_sac_train_step(env, params, cfg)
     else:
-        cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len)
+        kw = {} if minibatches is None else {"minibatches": minibatches}
+        cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len,
+                        obs_bf16=obs_bf16, **kw)
         init_state, train_step = make_train_step(env, params, cfg)
     carry = init_state(jax.random.PRNGKey(0))
     step = jax.jit(train_step, donate_argnums=0)
@@ -210,6 +213,13 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
     }
     if n_agents > 1:
         result["n_agents"] = n_agents
+    if algo == "ppo":
+        result["episodic_rollout"] = bool(getattr(train_step, "episodic",
+                                                  False))
+        if obs_bf16:
+            result["obs_bf16"] = True
+        if minibatches is not None:
+            result["minibatches"] = minibatches
     return result
 
 
@@ -431,18 +441,28 @@ def main() -> None:
     if args.env == "all":
         # learner-side lines: fused train steps on every env (round-3
         # verdict: no headline number may live only in docs tables)
-        print(json.dumps(_stamp_expected(bench_train(algo="ppo"))), flush=True)
+        # PPO configs: each env at its measured round-4 sweet spot —
+        # whole-episode rollouts through batch_unroll where supported,
+        # VMEM-sized minibatches (~32k rows), bf16 obs storage for the
+        # wide-obs EV configs (docs/benchmarks.md "learner tier")
+        print(json.dumps(_stamp_expected(bench_train(
+            num_envs=8192, rollout_len=288, minibatches=72,
+            algo="ppo"))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(algo="sac"))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(
-            "evcharging", algo="ppo", project_action=True))), flush=True)
+            "evcharging", num_envs=8192, rollout_len=288, minibatches=72,
+            obs_bf16=True, algo="ppo", project_action=True))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(
-            "cogen", algo="ppo"))), flush=True)
+            "cogen", num_envs=8192, rollout_len=96, minibatches=24,
+            algo="ppo"))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(
-            "datacenter", algo="ppo"))), flush=True)
+            "datacenter", num_envs=4096, rollout_len=672, minibatches=84,
+            algo="ppo"))), flush=True)
         # BASELINE.json configs[4]: multi-agent EV shared-policy PPO
         # (agent-steps/s; 512 envs x 54 station-agents)
         print(json.dumps(_stamp_expected(bench_train(
-            "evcharging-multiagent", num_envs=512, algo="ppo",
+            "evcharging-multiagent", num_envs=512, rollout_len=288,
+            minibatches=36, obs_bf16=True, algo="ppo",
             metric_name="ppo_ma_evcharging_train_agent_steps_per_s_per_chip",
             project_action=False, periods_delay=0))), flush=True)
         # sharded-program weak-scaling validation line (virtual devices)

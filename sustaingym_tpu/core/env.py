@@ -81,6 +81,13 @@ class FunctionalEnv(Generic[P, S]):
     def action_space(self, params: P) -> Space:
         raise NotImplementedError
 
+    def episode_steps(self, params: P) -> int | None:
+        """Static episode length, or None if variable. Envs with fixed
+        lengths (all five in this suite) override this; the PPO learner's
+        episodic fast path (whole-episode rollouts through the env's
+        ``batch_unroll`` prefetcher) keys off it."""
+        return None
+
     # ---- seeding parity -------------------------------------------------
     def key_from_seed(self, params: P, seed: int | None) -> jax.Array:
         """Maps a reference-style integer seed to a PRNG key. Envs with

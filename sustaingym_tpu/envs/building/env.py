@@ -323,6 +323,9 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         }
         return x_new, occupower, reward, obs, info
 
+    def episode_steps(self, params: BuildingParams) -> int:
+        return int(params.episode_len)
+
     # ---- lockstep fast path ----------------------------------------------
     def batch_unroll(self, params: BuildingParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int) -> TimeStep:

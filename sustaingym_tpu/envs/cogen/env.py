@@ -314,6 +314,9 @@ class CogenEnv(FunctionalEnv[CogenParams, CogenState]):
         return reward, info
 
     # ---- lockstep fast path ----------------------------------------------
+    def episode_steps(self, params: CogenParams) -> int:
+        return int(params.timesteps_per_day)
+
     def batch_unroll(self, params: CogenParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int) -> TimeStep:
         """Fused lockstep rollout: per-episode day-block prefetch instead of

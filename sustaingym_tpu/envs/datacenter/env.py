@@ -219,6 +219,9 @@ class DataCenterEnv(FunctionalEnv[DCParams, DCState]):
                   "queue": queue, "executed": executed})
         return new_state, ts
 
+    def episode_steps(self, params: DCParams) -> int:
+        return EPISODE_LEN
+
     # ---- lockstep fast path ----------------------------------------------
     def batch_unroll(self, params: DCParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int) -> TimeStep:

@@ -380,6 +380,9 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         return jax.vmap(lambda k: jax.random.randint(
             k, (), 0, params.n_days))(reset_keys)
 
+    def episode_steps(self, params: EVParams) -> int:
+        return MAX_TIMESTEP
+
     def batch_unroll(self, params: EVParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int,
                      prefetch: int = 48) -> TimeStep:

@@ -53,6 +53,16 @@ class PPOConfig:
     # or the value-loss gradient drowns the policy gradient under the shared
     # global-norm clip.
     reward_scale: float = static_field(default=1.0)
+    # store observations (rollout trajectory + minibatch samples) in
+    # bfloat16: the policy consumes the SAME bf16 values at rollout,
+    # behavior-logp scoring and every update epoch, so PPO ratios are
+    # exactly 1 at epoch 0 (no hidden mismatch) — the policy simply trains
+    # on bf16-quantized inputs, the standard TPU activation precision. The
+    # matmuls already run bf16 on the MXU; this halves obs HBM traffic
+    # (packing, epoch shuffles, minibatch reads) — the dominant update
+    # cost for wide-obs envs (EV: 146-float obs, 1.9GB of samples at
+    # 8192x288). Default off: f32 obs reproduce pre-round-4 numerics.
+    obs_bf16: bool = static_field(default=False)
 
 
 # ---------------------------------------------------------------------------
@@ -81,12 +91,21 @@ def policy_apply(params: dict[str, Any], obs: jax.Array
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """obs (..., obs_dim) -> (mu, log_std, value). The hidden dimension is
     the tensor-parallel axis: sharding trunk1.w's output dim over ``mp``
-    makes XLA all-reduce the trunk2 matmul over the mesh."""
+    makes XLA all-reduce the trunk2 matmul over the mesh.
+
+    The mu and value heads run as ONE matmul on concatenated weights: on
+    the MXU each output dim pads to a full 128-lane tile, so two separate
+    narrow heads (act_dim and 1 wide) cost two padded tiles where one
+    holds both. The param layout keeps separate 'mu'/'value' leaves
+    (checkpoints/sharding unchanged); the 56KB weight concat folds into
+    the matmul."""
     h = jnp.tanh(obs @ params["trunk1"]["w"] + params["trunk1"]["b"])
     h = jnp.tanh(h @ params["trunk2"]["w"] + params["trunk2"]["b"])
-    mu = h @ params["mu"]["w"] + params["mu"]["b"]
-    value = (h @ params["value"]["w"] + params["value"]["b"])[..., 0]
-    return mu, params["log_std"], value
+    w_heads = jnp.concatenate([params["mu"]["w"], params["value"]["w"]],
+                              axis=1)
+    b_heads = jnp.concatenate([params["mu"]["b"], params["value"]["b"]])
+    out = h @ w_heads + b_heads
+    return out[..., :-1], params["log_std"], out[..., -1]
 
 
 def _gauss_logp(mu, log_std, a, mask=None):
@@ -185,6 +204,11 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     if ma and obs_fn is None:
         obs_fn = lambda o: jnp.asarray(o, jnp.float32)  # noqa: E731
     obs_fn = obs_fn or flat_obs_fn(env, env_params)
+    if cfg.obs_bf16:
+        # one storage dtype end to end: rollout, behavior logp, and every
+        # epoch score the SAME bf16 obs (see PPOConfig.obs_bf16)
+        _obs_fn_f32 = obs_fn
+        obs_fn = lambda o: _obs_fn_f32(o).astype(jnp.bfloat16)  # noqa: E731
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr))
@@ -291,6 +315,64 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         _, _, last_value = apply_fn(policy, obs)
         return env_states, obs, traj, last_value
 
+    # ---- episodic fast path --------------------------------------------
+    # When the rollout spans EXACTLY one episode of a fixed-length env that
+    # provides a lockstep ``batch_unroll`` prefetcher, drive the rollout
+    # through it: the generic vmapped step re-gathers per-(env, step)
+    # exogenous rows that batch_unroll amortizes per episode (EV's generic
+    # path measured 6.3M env-only steps/s at 4096 envs vs 25M+ through
+    # batch_unroll). The policy callback samples actions in-rollout from
+    # the per-step action keys; afterwards (u, logp, value) are
+    # RECONSTRUCTED in one batched pass — same params, same observations,
+    # and the same `normal(key_act_t)` draws, so the values are
+    # bit-identical to having stored them step by step. Whole-episode PPO
+    # rollouts match the reference's episodic training batches
+    # (examples/evcharging/train_rllib.py:35-38: 288-step episodes).
+    ep_len = (env.episode_steps(env_params)
+              if hasattr(env, "episode_steps") else None)
+    episodic = (ep_len is not None and cfg.rollout_len == ep_len
+                and hasattr(env, "batch_unroll")
+                and not ma and not pap and not discrete)
+
+    def rollout_episodic(policy, key):
+        def sampling_policy(p, obs_raw, k_act):
+            obs_f = jax.vmap(obs_fn)(obs_raw)
+            mu, log_std, _ = apply_fn(p, obs_f)
+            u = mu + jnp.exp(log_std) * jax.random.normal(
+                k_act, mu.shape, mu.dtype)
+            return act_transform(u)
+
+        ts = env.batch_unroll(env_params, sampling_policy, policy, key,
+                              cfg.num_envs, cfg.rollout_len)
+        # re-derive the reset obs and per-step action keys with
+        # batch_unroll's exact key derivation (one reset re-run per
+        # episode — amortized noise)
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, cfg.num_envs)
+        _, ts0 = jax.vmap(env.reset, in_axes=(None, 0))(
+            env_params, init_keys)
+        keys = jax.random.split(key_scan, cfg.rollout_len)
+        k_act = jax.vmap(lambda kk: jax.random.split(kk)[0])(keys)
+        # obs the policy saw at step t: reset obs at t=0, then ts.obs[t-1]
+        obs0 = jax.vmap(obs_fn)(ts0.obs)
+        obs_tail = jax.vmap(jax.vmap(obs_fn))(
+            jax.tree.map(lambda x: x[:-1], ts.obs))
+        obs_seen = jnp.concatenate([obs0[None], obs_tail], axis=0)
+        mu, log_std, value = apply_fn(policy, obs_seen)
+        noise = jax.vmap(
+            lambda kk: jax.random.normal(kk, mu.shape[1:], mu.dtype))(k_act)
+        u = mu + jnp.exp(log_std) * noise
+        logp = _gauss_logp(mu, log_std, u, mask)
+        done = ts.done
+        if done.ndim < ts.reward.ndim:
+            done = jnp.broadcast_to(done[..., None], ts.reward.shape)
+        traj = {"obs": obs_seen, "u": u, "logp": logp, "value": value,
+                "reward": ts.reward, "done": done}
+        # episodes TERMINATE on the final step (done masks the bootstrap),
+        # so the last value never contributes to GAE
+        last_value = jnp.zeros_like(value[0])
+        return traj, last_value
+
     def gae(traj, last_value):
         def body(carry, x):
             adv_next, v_next = carry
@@ -334,8 +416,15 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     def train_step(carry, key):
         policy, opt_state = carry["policy"], carry["opt"]
         k_roll, k_perm = jax.random.split(key)
-        env_states, obs, traj, last_value = rollout(
-            policy, carry["env_states"], carry["obs"], k_roll)
+        if episodic:
+            # whole-episode rollout through the env's lockstep prefetcher;
+            # env_states/obs stay in the carry untouched (each train step
+            # rolls a fresh batch of full episodes)
+            env_states, obs = carry["env_states"], carry["obs"]
+            traj, last_value = rollout_episodic(policy, k_roll)
+        else:
+            env_states, obs, traj, last_value = rollout(
+                policy, carry["env_states"], carry["obs"], k_roll)
         advs, rets = gae(traj, last_value)
 
         if pap:
@@ -376,13 +465,26 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             # is per-index, so the same index count split across
             # minibatches loses to one big gather. Round-4 negative
             # result.)
-            fields = [("obs", obs_w), ("u", u_w),
-                      ("logp", 1), ("adv", 1), ("ret", 1)]
-            packed = jnp.concatenate(
-                [flat["obs"].astype(jnp.float32),
-                 flat["u"].astype(jnp.float32),
-                 flat["logp"][:, None], advs.reshape(n, 1),
-                 rets.reshape(n, 1)], axis=1)
+            if cfg.obs_bf16:
+                # dual-array packing: obs stays bf16 (concatenating into
+                # one f32 array would up-cast it back and double the
+                # shuffle bytes); the narrow fields pack into one f32
+                # array. Both shuffle with the same block permutation.
+                fields = [("u", u_w), ("logp", 1), ("adv", 1), ("ret", 1)]
+                packed_obs = flat["obs"]            # (n, obs_w) bf16
+                packed = jnp.concatenate(
+                    [flat["u"].astype(jnp.float32),
+                     flat["logp"][:, None], advs.reshape(n, 1),
+                     rets.reshape(n, 1)], axis=1)   # (n, u_w + 3) f32
+            else:
+                fields = [("obs", obs_w), ("u", u_w),
+                          ("logp", 1), ("adv", 1), ("ret", 1)]
+                packed_obs = None
+                packed = jnp.concatenate(
+                    [flat["obs"].astype(jnp.float32),
+                     flat["u"].astype(jnp.float32),
+                     flat["logp"][:, None], advs.reshape(n, 1),
+                     rets.reshape(n, 1)], axis=1)
 
         if fields is None:
             # per-agent path: rows are (n_agents, ...) slabs, wide enough
@@ -413,7 +515,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                    and n // (2 * G) >= cfg.minibatches):
                 G *= 2
             n_blocks = n // G
-            blocks = packed.reshape(n_blocks, G * F)
+            rest_F = int(packed.shape[1])
+            blocks = packed.reshape(n_blocks, G * rest_F)
+            blocks_obs = (packed_obs.reshape(n_blocks, G * obs_w)
+                          if packed_obs is not None else None)
             mb_blocks = n_blocks // cfg.minibatches
             mb = mb_blocks * G
             dropped = n - mb * cfg.minibatches
@@ -467,11 +572,20 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                     (policy, opt_state), idxs)
             else:
                 perm = jax.random.permutation(key_e, n_blocks)
-                shuffled = blocks[perm[:mb_blocks * cfg.minibatches]]
-                mbs = shuffled.reshape(cfg.minibatches, mb, F)
-                (policy, opt_state), metrics = jax.lax.scan(
-                    lambda c, arr: minibatch(c, unpack(arr)),
-                    (policy, opt_state), mbs)
+                sel = perm[:mb_blocks * cfg.minibatches]
+                shuffled = blocks[sel]
+                mbs = shuffled.reshape(cfg.minibatches, mb, rest_F)
+                if blocks_obs is not None:
+                    obs_mbs = blocks_obs[sel].reshape(
+                        cfg.minibatches, mb, obs_w)
+                    (policy, opt_state), metrics = jax.lax.scan(
+                        lambda c, arrs: minibatch(
+                            c, {**unpack(arrs[0]), "obs": arrs[1]}),
+                        (policy, opt_state), (mbs, obs_mbs))
+                else:
+                    (policy, opt_state), metrics = jax.lax.scan(
+                        lambda c, arr: minibatch(c, unpack(arr)),
+                        (policy, opt_state), mbs)
             return (policy, opt_state), metrics
 
         (policy, opt_state), metrics = jax.lax.scan(
@@ -486,6 +600,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         }
         return new_carry, out_metrics
 
+    train_step.episodic = episodic  # introspection (tests/bench labeling)
     return init_state, train_step
 
 
