@@ -317,14 +317,15 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
             result = bench_cogen(min(batch, 65536), min(steps, 96),
                                  repeats=repeats, profile_dir=profile_dir)
     elif env_name == "evcharging":
-        if not project_action and fused:
-            # fused Pallas simulation tier (projection-off only; projected
-            # configs route to the XLA path inside fused_rollout — see
-            # docs/benchmarks.md "Where the time goes" #2)
+        if fused:
+            # fused Pallas simulation tier — round 4's in-kernel dual-FISTA
+            # (wide 2048-lane groups) beats the XLA lockstep path with
+            # projection ON too (62M vs 50M at batch 16k; docs/benchmarks.md
+            # "Where the time goes" #2/#6)
             result = bench_fused("evcharging", min(batch, 16384),
                                  min(steps, 288), repeats=repeats,
                                  profile_dir=profile_dir,
-                                 project_action=False)
+                                 project_action=project_action)
         else:
             result = bench_generic("evcharging", min(batch, 16384),
                                    min(steps, 288), repeats=repeats,

@@ -475,21 +475,23 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
 
     def fused_rollout(self, params: EVParams, key: jax.Array, batch: int,
                       num_steps: int, actions: jax.Array | None = None,
-                      w: int = 128, force_kernel: bool = False,
+                      w: int = 2048, force_kernel: bool = False,
                       interpret: bool = False) -> TimeStep:
         """Maximum-throughput rollout: whole episodes run inside one Pallas
-        kernel per 128-env group (ops/pallas/ev_rollout.py), station state
-        VMEM-resident, the ADMM projection's matmuls on the MXU.
+        kernel per w-env group (ops/pallas/ev_rollout.py), station state
+        VMEM-resident, the projection's matmuls on the MXU.
 
-        Measured at batch 16384 x 288 on one v5 chip: 89.4M env-steps/s
-        with projection OFF (2.4x the XLA scan's 36.8M). With projection ON
-        the kernel runs 10.0M — SLOWER than the XLA path's 22.5M, because
-        the per-group (64,64)x(64,128) ADMM matmuls pad 54 stations to 64
-        and use a quarter of the 128x128 MXU, while XLA batches the same
-        matmuls over all 16384 envs at near-full tiles. ``fused_rollout``
-        therefore dispatches projected configs to :meth:`batch_unroll`
-        unless ``force_kernel`` (kept for parity tests and for larger-MXU
-        parts where the trade-off may flip).
+        Measured at batch 16384 x 288 on one v5 chip (round 4, w=2048):
+        98.2M env-steps/s with projection OFF (XLA scan: 43.7M) and
+        62M WITH the default dual-FISTA projection — beating the XLA
+        lockstep path's 50M, where round 3's ADMM kernel lost 10M-vs-47M.
+        Two changes flipped it: the in-kernel preconditioned dual-FISTA
+        operator (~4x fewer flops/iteration than ADMM), and WIDE lane
+        groups (w=2048 with the wx table streamed in 36-step chunks):
+        at w=128 the 15 serialized FISTA iterations per step are pure
+        latency (20M); wide rows turn the same chain throughput-bound.
+        JPL (9 cones) runs in-kernel too via the 16-cone split layout
+        (round 3's 8-cone interleaved layout excluded it).
 
         Semantics match :meth:`batch_unroll` except:
         - ``obs`` is an empty dict — the simulation tier returns rewards +
@@ -511,15 +513,18 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         :meth:`batch_unroll` otherwise when ``actions`` is None.
         """
         on_tpu = jax.devices()[0].platform == "tpu"
+        w = min(w, batch)
         dtype_ok = params.moer.dtype == jnp.float32
-        # the in-kernel projection implements the ADMM operator only; dual
-        # (FISTA) configs route to the XLA path
         admm = isinstance(params.proj, qp.SOCProjection)
-        proj_ok = not params.project_action or (
-            admm and (force_kernel or interpret))
-        # kernel layout holds at most 8 cones (16 interleaved rows) —
-        # caltech has 8; JPL's 9 fall back to the XLA path
-        cones_ok = int(params.proj.C.shape[0]) <= 16
+        # round 4: the kernel implements BOTH projection operators. The
+        # dual-FISTA path runs by default (it beats the XLA lockstep path —
+        # see the class docstring numbers); the legacy ADMM stays
+        # opt-in via force_kernel/interpret for its parity tests.
+        proj_ok = not params.project_action or (not admm) or (
+            force_kernel or interpret)
+        # kernel layout holds 16 cones (32 interleaved rows) — covers
+        # caltech's 8 AND JPL's 9 (round 3's 16-row layout excluded JPL)
+        cones_ok = int(params.proj.C.shape[0]) <= 32
         # the RNG path needs the on-core PRNG, which has no interpret-mode
         # lowering: interpret runs require prescribed actions
         platform_ok = on_tpu or (interpret and actions is not None)
@@ -561,6 +566,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         iters = int(params.proj.iters)
         rho = float(params.proj.rho) if admm else 0.0
         alpha = float(params.proj.alpha) if admm else 0.0
+        proj_method = "admm" if admm else "dual"
 
         parts = []
         t0 = 0
@@ -585,8 +591,8 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
                 use_rng = False
             out = fused_ev_segment(
                 k_op, ct_op, c_op, consts, wx, acts, seed, seg, n, w,
-                iters, rho, alpha, bool(params.project_action), use_rng,
-                interpret=interpret)
+                iters, rho, alpha, bool(params.project_action),
+                proj_method, use_rng, interpret=interpret)
 
             def field(i):
                 return jnp.transpose(

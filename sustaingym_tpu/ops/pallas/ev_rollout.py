@@ -10,28 +10,26 @@ padded to 64) — with the station state (plugged/departure/demand) resident
 in VMEM for the whole episode.
 
 Per step per group the work is exactly EVChargingEnv._step_row's math
-(envs/evcharging/env.py): optional 30-iteration over-relaxed ADMM projection
-(ops/qp.py project(): three (64,64)x(64,W) MXU matmuls per iteration plus
-box/second-order-cone proximal steps), EVSE pilot quantization, the
-unplug/arrival event updates, the two-stage battery model, and the
-profit − carbon − excess reward with the 8-cone constraint-current
-magnitudes.
+(envs/evcharging/env.py): optional feasibility projection (default:
+15-iteration preconditioned dual-FISTA with gradient restart, mirroring
+ops/qp._project_dual; legacy 30-iteration over-relaxed ADMM kept for its
+parity tests), EVSE pilot quantization, the unplug/arrival event updates,
+the two-stage battery model, and the profit − carbon − excess reward with
+the per-cone constraint-current magnitudes.
 
-Cone rows are (re, im)-interleaved exactly like ops/qp.py's operator; the
-per-cone pair reductions use sublane rolls (pltpu.roll axis=0) instead of
-reshapes, which Mosaic handles without relayouts.
+Cone rows use a SPLIT layout — rows [0:16] real, [16:32] imaginary parts
+of up to 16 cones (covers caltech's 8 AND JPL's 9) — so per-cone pair
+reductions are 8-aligned sublane slices, not rolls.
 
-Measured (batch 16384 x 288 steps, one v5 chip, 2026-08-20):
-- projection OFF: 89.4M env-steps/s (XLA scan: 36.8M) — the event/battery/
-  reward chain runs entirely in VMEM;
-- projection ON: 10.0M (XLA scan: 22.5M with the then-default ADMM; 47M+
-  after round 3's dual-FISTA switch) — the per-group (64,64)x(64,128)
-  ADMM matmuls pad 54 stations to 64 sublanes and use a quarter of the
-  128x128 MXU, whereas XLA batches the identical matmuls over the full env
-  batch at near-full tiles. EVChargingEnv.fused_rollout therefore routes
-  projected configs to the XLA lockstep path by default; the in-kernel
-  projection implements the legacy ADMM operator only (parity tests pin
-  it via proj_method='admm').
+Measured (batch 16384 x 288 steps, one v5 chip, round 4, w=2048):
+- projection OFF: 98.2M env-steps/s (XLA scan: 43.7M);
+- projection ON (dual-FISTA-15): 62M — beats the XLA lockstep path's 50M.
+  Round 3's ADMM kernel lost this matchup 10M-vs-47M at w=128: the 15-30
+  serialized projection iterations per step are a pure latency chain at
+  narrow lane groups. WIDE groups (w=2048, the wx table streamed through
+  VMEM in 36-step chunks over a 2D (group, chunk) grid) turn the chain
+  throughput-bound: 20M (w=128) -> 31M (256) -> 47M (512) -> 62M (2048),
+  with 4096 regressing (54.9M, VMEM pressure).
 
 Action sources (mirroring building_rollout):
 - prescribed actions (input block) — the parity tests drive this mode
@@ -45,12 +43,12 @@ Action sources (mirroring building_rollout):
 
 Layouts (f32; W lanes = envs, sublanes = stations/cones):
   k_op:   (64, 64)  ADMM K operator (inv((1+rho)I + rho C^T C), padded)
-  ct_op:  (64, 64)  rho * C^T (columns 0:16 valid)
-  c_op:   (16, 64)  interleaved [Re; Im] cone rows
-  consts: (96, W)   rows [0:64]=min_pilots, [64:80]=cone radii (pair rows),
-                    [80:96]=cone magnitudes (amps, pair rows)
+  ct_op:  (64, 32)  C^T in split-cone column order (rho-scaled for ADMM)
+  c_op:   (32, 64)  split cone rows [Re 0:16 | Im 16:32]
+  consts: (128, W)  rows [0:64]=min_pilots, [64:80]=cone radii,
+                    [80:96]=cone magnitudes (amps), [96:112]=FISTA steps
   wx:     (nb, steps, 136, W) rows [0:64]=plug_dep, [64:128]=plug_req,
-                    [128]=moer(t+1)[0]
+                    [128]=moer(t+1)[0] — streamed in 36-step chunks
   acts:   (nb, steps, 64, W) prescribed actions (RNG mode: (1,1,1,W) dummy)
   out:    (nb, steps, 8, W) rows [0]=reward, [1]=profit, [2]=carbon_cost,
                     [3]=excess_charge
@@ -68,9 +66,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_ev_segment", "build_ev_operators"]
 
 _SROWS = 64     # padded station rows
-_CROWS = 16     # interleaved (re, im) cone rows (2 * 8 constraints)
+_CROWS = 32     # cone rows, SPLIT halves: [0:16]=Re, [16:32]=Im (up to 16
+                # constraints — caltech's 8 and JPL's 9 both fit; round 3's
+                # 16-row interleaved layout excluded JPL and needed sublane
+                # rolls for every pair reduction, which the split layout
+                # replaces with 8-aligned sublane slices)
+_HC = 16        # half (per-cone) rows
 _WX_ROWS = 136  # plug_dep(64) | plug_req(64) | moer0(1) | pad
 _OUT_ROWS = 8
+_CONST_ROWS = 128  # min_pilots(64) | radii(16) | mags(16) | fista steps(16)
 
 # mirrors envs/evcharging/env.py constants
 _VOLTAGE = 208.0
@@ -100,58 +104,81 @@ def build_ev_operators(params, w: int = 128):
     m2 = int(proj.C.shape[0])
     assert m2 <= _CROWS, m2
 
-    # K/rho exist only on the ADMM operator; the dual (FISTA) operator is
-    # not implemented in-kernel, so projected dual configs never reach this
-    # path (env.fused_rollout guards) and the zero K/CT blocks are unused
+    m = m2 // 2
+    assert m <= _HC, m
+    # ops/qp.py stores C with (re, im)-interleaved rows; the kernel splits
+    # them into half blocks (rows [0:16]=Re, [16:32]=Im) so every per-cone
+    # pair reduction is an 8-aligned sublane slice instead of a roll
+    C = np.asarray(proj.C, np.float64)
+    C_split = np.zeros((_CROWS, n))
+    C_split[:m] = C[0::2]
+    C_split[_HC:_HC + m] = C[1::2]
+
+    # ADMM carries (K, rho-scaled C^T); the dual-FISTA operator carries
+    # per-cone steps instead (ct_op = plain C^T, k_op unused/zero)
     admm = hasattr(proj, "K")
     k_op = np.zeros((_SROWS, _SROWS), np.float32)
-    ct_op = np.zeros((_SROWS, _SROWS), np.float32)
+    ct_op = np.zeros((_SROWS, _CROWS), np.float32)
+    scale = float(proj.rho) if admm else 1.0
     if admm:
         k_op[:n, :n] = np.asarray(proj.K)
-        ct_op[:n, :m2] = float(proj.rho) * np.asarray(proj.C).T
+    ct_op[:n, :] = scale * C_split.T
     c_op = np.zeros((_CROWS, _SROWS), np.float32)
-    c_op[:m2, :n] = np.asarray(proj.C)
+    c_op[:, :n] = C_split
 
-    consts = np.zeros((96, w), np.float32)
+    consts = np.zeros((_CONST_ROWS, w), np.float32)
     consts[0:n] = np.asarray(params.min_pilots)[:, None]
-    radii = np.asarray(proj.radii)
-    mags = np.asarray(params.magnitudes)
-    for k in range(m2 // 2):
-        consts[64 + 2 * k] = consts[64 + 2 * k + 1] = radii[k]
-        consts[80 + 2 * k] = consts[80 + 2 * k + 1] = mags[k]
+    consts[64:64 + m] = np.asarray(proj.radii)[:, None]
+    consts[80:80 + m] = np.asarray(params.magnitudes)[:, None]
+    if not admm:
+        consts[96:96 + m] = np.asarray(proj.step)[:, None]
     return (jnp.asarray(k_op), jnp.asarray(ct_op), jnp.asarray(c_op),
             jnp.asarray(consts))
 
 
-def _pair_sum(s):
-    """rows 2k of the result hold s[2k] + s[2k+1] (cone pair reduction).
-    pltpu.roll needs a non-negative shift: -1 mod _CROWS."""
-    return s + pltpu.roll(s, shift=_CROWS - 1, axis=0)
+def _cone_norm_sq(v):
+    """(16, w) per-cone squared magnitudes of a split-layout (32, w) cone
+    vector: row k holds Re_k^2 + Im_k^2 (8-aligned sublane slices — no
+    rolls)."""
+    return v[0:_HC] * v[0:_HC] + v[_HC:_CROWS] * v[_HC:_CROWS]
 
 
-def _spread_even(x, even):
-    """broadcasts even-row values onto their odd pair rows."""
-    xe = jnp.where(even, x, 0.0)
-    return xe + pltpu.roll(xe, shift=1, axis=0)
+def _both(x):
+    """(32, w) from (16, w): the per-cone value applied to both the Re and
+    Im half rows."""
+    return jnp.concatenate([x, x], axis=0)
 
 
 def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
-            out_ref, plugged, dep, demand, zpad, *, steps: int, n: int,
-            w: int, iters: int, rho: float, alpha: float, project: bool,
-            use_rng: bool):
+            out_ref, plugged, dep, demand, *, chunk: int, n_chunks: int,
+            n: int, w: int, iters: int, rho: float, alpha: float,
+            project: bool, proj_method: str, use_rng: bool):
+    # 2D grid (group, step-chunk): the wx table streams through VMEM in
+    # chunk-sized blocks so the lane width can grow past what a whole
+    # 288-step block allows (w=512 needs 80MB/block unchunked); the station
+    # state persists in scratch across a group's chunks (the chunk axis is
+    # innermost, so chunks of one group run consecutively)
+    j = pl.program_id(1)
     if use_rng:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # a distinct stream per (group, chunk): the PRNG state need not
+        # survive grid steps, and the RNG tier's draws are documented as a
+        # counter-based stream (not the jax.random bits)
+        pltpu.prng_seed(seed_ref[0]
+                        + pl.program_id(0) * n_chunks + j)
 
     minp = const_ref[0:_SROWS]
-    radii = const_ref[64:64 + _CROWS]
-    mags = const_ref[80:80 + _CROWS]
-    even = jax.lax.broadcasted_iota(jnp.int32, (_CROWS, w), 0) % 2 == 0
+    radii = const_ref[64:64 + _HC]
+    mags = const_ref[80:80 + _HC]
+    fsteps16 = const_ref[96:96 + _HC]
+    fsteps = jnp.concatenate([fsteps16, fsteps16], axis=0)   # (32, w)
 
-    # station state lives in VMEM scratch for the whole episode
-    plugged[...] = jnp.zeros((_SROWS, w), jnp.float32)
-    dep[...] = jnp.zeros((_SROWS, w), jnp.float32)
-    demand[...] = jnp.zeros((_SROWS, w), jnp.float32)
-    zpad[...] = jnp.zeros((_SROWS, w), jnp.float32)
+    # station state lives in VMEM scratch for the whole episode; re-init
+    # only on each group's FIRST chunk
+    @pl.when(j == 0)
+    def _init():
+        plugged[...] = jnp.zeros((_SROWS, w), jnp.float32)
+        dep[...] = jnp.zeros((_SROWS, w), jnp.float32)
+        demand[...] = jnp.zeros((_SROWS, w), jnp.float32)
 
     inv_ub = 1.0 / (_A_PERS_TO_KWH * _ACTION_SCALE)
 
@@ -164,9 +191,8 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
 
         def body(_, carry):
             x, z0, u0, zc, uc = carry
-            zpad[0:_CROWS] = zc - uc
             rhs = (a + rho * (z0 - u0)
-                   + jnp.dot(ct_ref[:], zpad[...],
+                   + jnp.dot(ct_ref[:], zc - uc,
                              preferred_element_type=jnp.float32))
             x = jnp.dot(k_ref[:], rhs, preferred_element_type=jnp.float32)
             cx = jnp.dot(c_ref[:], x, preferred_element_type=jnp.float32)
@@ -174,10 +200,8 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
             cxh = alpha * cx + (1.0 - alpha) * zc
             z0 = jnp.clip(xh + u0, 0.0, ub)
             v = cxh + uc
-            s = _pair_sum(v * v)
-            norm = jnp.sqrt(s + 1e-12)
-            scale = _spread_even(jnp.minimum(1.0, radii / norm), even)
-            zc = v * scale
+            norm = jnp.sqrt(_cone_norm_sq(v) + 1e-12)
+            zc = v * _both(jnp.minimum(1.0, radii / norm))
             u0 = u0 + xh - z0
             uc = uc + cxh - zc
             return (x, z0, u0, zc, uc)
@@ -186,8 +210,47 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
             0, iters, body, (x, z0, u0, zc, uc))
         return jnp.clip(x, 0.0, ub)
 
+    def fista(a, ub):
+        """Preconditioned dual-FISTA with gradient restart — the in-kernel
+        mirror of ops/qp._project_dual (f32 throughout: the VMEM-resident
+        chain has no HBM re-reads, so the XLA path's bf16 inner-loop
+        storage trick is unnecessary here)."""
+        tr = fsteps16 * radii                                 # (16, w)
+        # carry inits come from VMEM reads, not jnp.zeros/ones splats:
+        # Mosaic requires the loop-carried layouts to match the body's
+        # outputs, and splat (replicated) inits trip an "Invalid relayout"
+        # on the (32, w) / (1, w) carries
+        lam0 = _both(minp[0:_HC]) * 0.0
+
+        def body(_, carry):
+            lam, lam_prev, tk = carry
+            tk1 = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk))
+            beta = (tk - 1.0) / tk1                       # (1, w)
+            y = lam + beta * (lam - lam_prev)             # (_CROWS, w)
+            ydot = jnp.dot(ct_ref[:], y,
+                           preferred_element_type=jnp.float32)
+            xbar = jnp.clip(a - ydot, 0.0, ub)
+            cx = jnp.dot(c_ref[:], xbar,
+                         preferred_element_type=jnp.float32)
+            v = y + fsteps * cx
+            nr = jnp.sqrt(_cone_norm_sq(v) + 1e-12)
+            lam_new = v * _both(jnp.maximum(0.0, 1.0 - tr / nr))
+            # gradient restart (O'Donoghue & Candes) — padded rows are
+            # zero in every lam iterate, so the row sum is exact
+            prog = jnp.sum((lam_new - lam) * (lam - lam_prev),
+                           axis=0, keepdims=True)
+            tk1 = jnp.where(prog < 0.0, 1.0, tk1)
+            return (lam_new, lam, tk1)
+
+        tk0 = minp[0:1] * 0.0 + 1.0
+        lam, _, _ = jax.lax.fori_loop(
+            0, iters, body, (lam0, lam0, tk0))
+        ydot = jnp.dot(ct_ref[:], lam,
+                       preferred_element_type=jnp.float32)
+        return jnp.clip(a - ydot, 0.0, ub)
+
     def body(t, _):
-        wrow = wx_ref[0, t]                       # (136, W)
+        wrow = wx_ref[0, 0, t]                    # (136, W)
         plug_dep = wrow[0:_SROWS]
         plug_req = wrow[64:64 + _SROWS]
         moer0 = wrow[128:129]
@@ -195,13 +258,13 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
         if use_rng:
             a = _uniform01((_SROWS, w))
         else:
-            a = jnp.clip(act_ref[0, t], 0.0, 1.0)
+            a = jnp.clip(act_ref[0, 0, t], 0.0, 1.0)
 
         pl_now = plugged[...]
         dem_now = demand[...]
         if project:
             ub = jnp.minimum(1.0, pl_now * dem_now * inv_ub)
-            a = admm(a, ub)
+            a = fista(a, ub) if proj_method == "dual" else admm(a, ub)
 
         # pilot quantization (env.py:366-378)
         amps = a * _ACTION_SCALE
@@ -210,7 +273,8 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
         pilots = jnp.where(minp == 6.0, cc, av)
 
         # events: unplug at departure, then arrivals overwrite the slot
-        t_f = jnp.float32(t)
+        # (departures are stored as ABSOLUTE timesteps — compare globally)
+        t_f = jnp.float32(j * chunk + t)
         pl_new = jnp.where(dep[...] == t_f, 0.0, pl_now)
         arrive = plug_dep > 0.0
         pl_new = jnp.where(arrive, 1.0, pl_new)
@@ -233,73 +297,92 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
         # reward (env.py:431-464)
         total_rate = jnp.sum(rates, axis=0, keepdims=True)
         agg = jnp.dot(c_ref[:], pilots, preferred_element_type=jnp.float32)
-        mag = jnp.sqrt(_pair_sum(agg * agg))
-        exc = jnp.where(even, jnp.maximum(mag - mags, 0.0), 0.0)
-        excess = jnp.sum(exc, axis=0, keepdims=True)
+        mag = jnp.sqrt(_cone_norm_sq(agg))                  # (16, w)
+        excess = jnp.sum(jnp.maximum(mag - mags, 0.0), axis=0,
+                         keepdims=True)
         profit = _PROFIT_FACTOR * total_rate
         carbon = _CARBON_COST_FACTOR * total_rate * moer0
         excess_charge = _VIOLATION_FACTOR * excess
-        out_ref[0, t, 0:1] = profit - carbon - excess_charge
-        out_ref[0, t, 1:2] = profit
-        out_ref[0, t, 2:3] = carbon
-        out_ref[0, t, 3:4] = excess_charge
-        out_ref[0, t, 4:] = jnp.zeros((_OUT_ROWS - 4, w), jnp.float32)
+        out_ref[0, 0, t, 0:1] = profit - carbon - excess_charge
+        out_ref[0, 0, t, 1:2] = profit
+        out_ref[0, 0, t, 2:3] = carbon
+        out_ref[0, 0, t, 3:4] = excess_charge
+        out_ref[0, 0, t, 4:] = jnp.zeros((_OUT_ROWS - 4, w), jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, steps, body, 0)
+    jax.lax.fori_loop(0, chunk, body, 0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("steps", "n", "w", "iters", "rho", "alpha",
-                              "project", "use_rng", "interpret"))
+                              "project", "proj_method", "use_rng",
+                              "interpret"))
 def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
                      steps: int, n: int, w: int, iters: int, rho: float,
-                     alpha: float, project: bool, use_rng: bool,
-                     interpret: bool = False) -> jax.Array:
+                     alpha: float, project: bool, proj_method: str,
+                     use_rng: bool, interpret: bool = False) -> jax.Array:
     """Runs one lockstep episode segment for nb * w envs; see module
-    layouts. Returns (nb, steps, 8, w) reward/info rows."""
+    layouts. Returns (nb, steps, 8, w) reward/info rows.
+
+    The wx/acts/out tables stream through VMEM in step CHUNKS over a 2D
+    (group, chunk) grid — a whole-episode block at w=512 would need 80MB
+    of VMEM per buffer; chunked blocks keep the footprint ~9MB so the lane
+    width (envs per kernel instance) can grow to hide the projection
+    loop's serialized iteration latency."""
     nb = wx.shape[0]
+    # chunk sized to keep the double-buffered wx block under VMEM at the
+    # chosen lane width (block bytes = chunk * 136 * w * 4 * 2)
+    cand = 36 if w <= 2048 else 12
+    chunk = cand if steps % cand == 0 else steps
+    n_chunks = steps // chunk
+    wx = wx.reshape(nb, n_chunks, chunk, _WX_ROWS, w)
     if use_rng:
-        act_spec = pl.BlockSpec((1, 1, 1, w), lambda i: (0, 0, 0, 0),
+        act_spec = pl.BlockSpec((1, 1, 1, 1, w), lambda i, j: (0, 0, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+        acts = acts.reshape(1, 1, 1, 1, w)
     else:
-        act_spec = pl.BlockSpec((1, steps, _SROWS, w),
-                                lambda i: (i, 0, 0, 0),
+        act_spec = pl.BlockSpec((1, 1, chunk, _SROWS, w),
+                                lambda i, j: (i, j, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel, steps=steps, n=n, w=w, iters=iters,
-                          rho=rho, alpha=alpha, project=project,
+        acts = acts.reshape(nb, n_chunks, chunk, _SROWS, w)
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, n_chunks=n_chunks, n=n,
+                          w=w, iters=iters, rho=rho, alpha=alpha,
+                          project=project, proj_method=proj_method,
                           use_rng=use_rng),
-        grid=(nb,),
+        grid=(nb, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_SROWS, _SROWS), lambda i: (0, 0),
+            pl.BlockSpec((_SROWS, _SROWS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SROWS, _SROWS), lambda i: (0, 0),
+            pl.BlockSpec((_SROWS, _CROWS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CROWS, _SROWS), lambda i: (0, 0),
+            pl.BlockSpec((_CROWS, _SROWS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((96, w), lambda i: (0, 0),
+            pl.BlockSpec((_CONST_ROWS, w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, steps, _WX_ROWS, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, chunk, _WX_ROWS, w),
+                         lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             act_spec,
         ],
-        out_specs=pl.BlockSpec((1, steps, _OUT_ROWS, w),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, chunk, _OUT_ROWS, w),
+                               lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, steps, _OUT_ROWS, w),
+        out_shape=jax.ShapeDtypeStruct((nb, n_chunks, chunk, _OUT_ROWS, w),
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((_SROWS, w), jnp.float32)
-                        for _ in range(4)],
+                        for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=nb * steps * w * (
-                (iters * 3 * 2 * _SROWS * _SROWS if project else 0)
+                (iters * 2 * 2 * _SROWS * (_SROWS if proj_method != "dual"
+                                           else _CROWS) if project else 0)
                 + 2 * _CROWS * _SROWS + 200),
             transcendentals=nb * steps * w * (iters + 2),
             bytes_accessed=nb * steps * w * 4 * (_WX_ROWS + _OUT_ROWS)),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), k_op, ct_op, c_op, consts,
       wx, acts)
+    return out.reshape(nb, steps, _OUT_ROWS, w)

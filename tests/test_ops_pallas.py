@@ -142,3 +142,56 @@ def test_fused_ev_rollout_unprojected_matches_xla():
                                np.asarray(rewards), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(fused.info["excess_charge"]),
                                np.asarray(excesses), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("site", ["caltech", "jpl"])
+def test_fused_ev_rollout_dual_fista_matches_xla(site):
+    """Round-4 in-kernel dual-FISTA projection (interpret mode) == the XLA
+    step loop on the same prescribed actions/days — including JPL, whose 9
+    cones the round-3 16-row layout excluded. The XLA reference runs with
+    inner_bf16=False so both sides compute the f32 operator (the kernel's
+    VMEM-resident chain has no HBM pressure, hence no bf16 inner trick)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu.envs import evcharging
+    from sustaingym_tpu.envs.evcharging.env import ACTION_SCALE_FACTOR
+    from sustaingym_tpu.ops import qp
+
+    env, params = evcharging.make_env(site=site,
+                                      date_period="Summer 2021",
+                                      project_action=True, proj_iters=15,
+                                      proj_method="dual")
+    spec = evcharging.caltech_site() if site == "caltech" \
+        else evcharging.jpl_site()
+    # f32 inner loop on the XLA side to match the kernel's f32 chain
+    proj = qp.make_dual_soc_projection(
+        spec.constraint_matrix, spec.phase_angles, spec.magnitudes,
+        action_scale=ACTION_SCALE_FACTOR, iters=15, inner_bf16=False)
+    params = params.replace(proj=proj)
+    n = params.n_stations
+    batch, steps, w = 128, 12, 128
+    key = jax.random.PRNGKey(11)
+    rng = np.random.default_rng(5)
+    actions = jnp.asarray(rng.uniform(0, 1, (steps, batch, n)), jnp.float32)
+
+    fused = env.fused_rollout(params, key, batch, steps, actions=actions,
+                              w=w, interpret=True)
+
+    key_init, _ = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    days = jax.vmap(lambda k: jax.random.randint(
+        k, (), 0, params.n_days))(init_keys)
+    state, _ = jax.vmap(env.reset_at_day, in_axes=(None, 0))(params, days)
+    vstep = jax.jit(jax.vmap(env.step, in_axes=(None, 0, 0, None)))
+    rewards, profits = [], []
+    for t in range(steps):
+        state, ts = vstep(params, state, actions[t], jax.random.PRNGKey(0))
+        rewards.append(np.asarray(ts.reward))
+        profits.append(np.asarray(ts.info["profit"]))
+
+    np.testing.assert_allclose(np.asarray(fused.reward),
+                               np.asarray(rewards), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused.info["profit"]),
+                               np.asarray(profits), rtol=2e-4, atol=2e-5)
