@@ -72,6 +72,11 @@ class MarketParams:
     # data
     load: jax.Array         # (n_days, 289 + k) MW system load (padded)
     moer: jax.Array         # (n_days, 289, 37) kg CO2 / kWh
+    # cols [0:k+1] of each day's MOER table, flattened row-major to ONE
+    # wide row per day — the state slab gathers/rolls this layout (a
+    # (289, k+1) slab's 5-wide minor dim pads to the 128-lane tile: the
+    # first slab attempt measured 1.9M vs 3.1M steps/s from exactly that)
+    moer_kflat: jax.Array   # (n_days, 289 * (k + 1))
     # warm-start shift permutations: each step moves the SCED horizon one
     # interval, so the previous solution warm-starts best with its per-tau
     # blocks shifted tau+1 -> tau (last block duplicated)
@@ -110,6 +115,13 @@ class MarketState:
     warm_x: jax.Array       # (n,)
     warm_y: jax.Array       # (me,)
     warm_z: jax.Array       # (mi,)
+    # the episode's exogenous day rows, gathered ONCE at reset and ROLLED
+    # one position per step so the current load window / MOER row are
+    # STATIC slices — the per-(env, step) vmapped dynamic_slice gathers
+    # were 27% of a batched rollout (round-4 xprof, same pattern as the
+    # DC/cogen state slabs)
+    load_slab: jax.Array    # (289 + k,) this day's load row
+    moer_slab: jax.Array    # (289 * (k+1),) flattened MOER cols [0:k+1]
 
 
 def _synthesize_load(n_days: int, month: int, seed: int = 7) -> np.ndarray:
@@ -214,6 +226,8 @@ def make_params(month: str = "2021-05",
         load_sf=jnp.asarray(mats["load_sf"], dtype),
         load=jnp.asarray(load, dtype),
         moer=jnp.asarray(moer, dtype),
+        moer_kflat=jnp.asarray(
+            moer[:, :, :horizon + 1].reshape(n_days, -1), dtype),
         warm_perm_x=jnp.asarray(perm_x),
         warm_perm_y=jnp.asarray(perm_y),
         warm_perm_z=jnp.asarray(perm_z),
@@ -241,8 +255,9 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         dtype = params.load.dtype
         k = params.horizon
         e0 = jnp.asarray(BATTERY_CAPACITY_MWH / 2.0, dtype)
+        day = jnp.asarray(day, jnp.int32)
         state = MarketState(
-            day=jnp.asarray(day, jnp.int32), t=jnp.zeros((), jnp.int32),
+            day=day, t=jnp.zeros((), jnp.int32),
             energy=e0, energy0=e0,
             prev_action=jnp.zeros(2 * k, dtype),
             prev_dispatch=jnp.zeros((), dtype),
@@ -252,7 +267,9 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             price_sum=jnp.zeros((), dtype),
             warm_x=jnp.zeros(params.op.n, dtype),
             warm_y=jnp.zeros(params.op.me, dtype),
-            warm_z=jnp.zeros(params.op.mi, dtype))
+            warm_z=jnp.zeros(params.op.mi, dtype),
+            load_slab=params.load[day],
+            moer_slab=params.moer_kflat[day])
         ts = TimeStep(obs=self._obs(params, state),
                       reward=jnp.zeros((), dtype),
                       terminated=jnp.zeros((), bool),
@@ -269,8 +286,7 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         a_discharge = action[k:]
 
         c = jnp.concatenate([params.gen_cost_tiled, -a_charge, a_discharge])
-        loads = jax.lax.dynamic_slice(params.load[state.day],
-                                      (state.t,), (k,))
+        loads = state.load_slab[:k]            # rolled slab: static slice
         b = loads
 
         # h follows the paired-operator ordering [h_plus(ms), h_minus(ms)]
@@ -331,7 +347,7 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             * TAU_H, 0.0, BATTERY_CAPACITY_MWH)
 
         t = state.t
-        moer_kg_mwh = params.moer[state.day, t, 0] * 1000.0
+        moer_kg_mwh = state.moer_slab[0] * 1000.0
         revenue = price * dispatch_mwh
         carbon_value = P_CO2 * moer_kg_mwh * dispatch_mwh
         step_reward = revenue + carbon_value
@@ -360,7 +376,9 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
             prev_action=action, prev_dispatch=dispatch_mwh,
             prev_price=price, prev_load=cleared["load"],
             cum_reward=cum, price_sum=price_sum,
-            warm_x=sol.x, warm_y=sol.y, warm_z=sol.z)
+            warm_x=sol.x, warm_y=sol.y, warm_z=sol.z,
+            load_slab=jnp.roll(state.load_slab, -1),
+            moer_slab=jnp.roll(state.moer_slab, -(params.horizon + 1)))
         ts = TimeStep(
             obs=self._obs(params, new_state),
             reward=reward, terminated=terminated,
@@ -381,9 +399,9 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         k = params.horizon
         dtype = params.load.dtype
         t = state.t
-        day = state.day
-        load_fc = jax.lax.dynamic_slice(params.load[day], (t,), (k,))
-        moer_row = params.moer[day, t]
+        # the state's slabs are rolled so position 0 is the current t
+        load_fc = state.load_slab[:k]
+        moer_row = state.moer_slab[:k + 1]
         return {
             "time": (t / T_STEPS).astype(dtype)[None],
             "energy_level": state.energy[None],
