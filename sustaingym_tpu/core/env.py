@@ -26,7 +26,8 @@ from .struct import PyTreeNode, tree_select
 P = TypeVar("P")  # params pytree
 S = TypeVar("S")  # state pytree
 
-__all__ = ["TimeStep", "FunctionalEnv", "autoreset_step", "RewardBreakdown"]
+__all__ = ["TimeStep", "FunctionalEnv", "autoreset_step",
+           "autoreset_vstep", "RewardBreakdown"]
 
 
 class TimeStep(PyTreeNode):
@@ -136,12 +137,14 @@ def autoreset_vstep(env: FunctionalEnv[P, S]
     all selected values are IDENTICAL to ``vmap(autoreset_step(env))`` —
     trajectories stay bit-exact; only the dead reset work is skipped.
 
-    Envs can opt out with ``gate_autoreset = False`` (class attribute):
-    for fine-grained steps the per-step branch dispatch costs more than
-    the dead reset work it skips — cogen (96-step episodes, ~43us step
-    grain at 4096 envs) measured 7.6M -> 6.0M PPO env-steps/s gated,
-    while building/datacenter gain 6-13%. The cond also blocks XLA from
-    CSEing work shared between step and reset.
+    Envs can opt out with ``gate_autoreset = False`` (class attribute)
+    when the per-step branch dispatch costs more than the dead reset work
+    it skips (the cond also blocks XLA from CSEing work shared between
+    step and reset). Cogen used the opt-out while its step re-gathered
+    the ambient day row (7.6M vs 6.0M PPO env-steps/s); once the slab
+    moved into the state, reset became the expensive side and the gate
+    won again (11-12M vs 10.4M) — no suite env currently opts out, but
+    the escape hatch stays for fine-grained-step envs.
 
     Args are batched: states/actions/keys carry a leading batch axis;
     ``params`` is shared.

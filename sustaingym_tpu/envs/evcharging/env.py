@@ -506,14 +506,24 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         With prescribed ``actions`` ((num_steps, batch, n), driven by the
         parity tests) rewards/info match the XLA path to float tolerance.
 
-        Requires float32 params, batch % w == 0, at most 8 network cones
-        (caltech; JPL's 9 exceed the kernel layout), and a TPU
-        (``interpret=True`` works only with prescribed ``actions`` — the
-        on-core PRNG has no interpret lowering); falls back to
-        :meth:`batch_unroll` otherwise when ``actions`` is None.
+        Requires float32 params, batch % w == 0 (w auto-shrinks to the
+        batch in 128-lane multiples), at most 16 network cones (both
+        packaged sites fit), and a TPU (``interpret=True`` works only
+        with prescribed ``actions`` — the on-core PRNG has no interpret
+        lowering); falls back to :meth:`batch_unroll` otherwise when
+        ``actions`` is None. NOTE on numerics: the in-kernel dual-FISTA
+        honors the operator's ``restart`` flag but always runs the
+        x-chain in f32 (``inner_bf16`` is an XLA-path HBM optimization
+        with no in-kernel analogue), so kernel-vs-XLA outputs agree to
+        bf16-noise tolerance when the XLA operator uses its default
+        inner_bf16=True, and to float tolerance when inner_bf16=False
+        (the parity tests pin the latter).
         """
         on_tpu = jax.devices()[0].platform == "tpu"
-        w = min(w, batch)
+        # shrink the lane group to the batch, keeping it a 128-lane
+        # multiple (the kernel layouts assume full lane tiles; a
+        # non-multiple batch falls through the guard to batch_unroll)
+        w = min(w, max(128, (batch // 128) * 128))
         dtype_ok = params.moer.dtype == jnp.float32
         admm = isinstance(params.proj, qp.SOCProjection)
         # round 4: the kernel implements BOTH projection operators. The
@@ -567,6 +577,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         rho = float(params.proj.rho) if admm else 0.0
         alpha = float(params.proj.alpha) if admm else 0.0
         proj_method = "admm" if admm else "dual"
+        restart = bool(getattr(params.proj, "restart", True))
 
         parts = []
         t0 = 0
@@ -592,7 +603,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             out = fused_ev_segment(
                 k_op, ct_op, c_op, consts, wx, acts, seed, seg, n, w,
                 iters, rho, alpha, bool(params.project_action),
-                proj_method, use_rng, interpret=interpret)
+                proj_method, restart, use_rng, interpret=interpret)
 
             def field(i):
                 return jnp.transpose(

@@ -152,7 +152,7 @@ def _both(x):
 def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
             out_ref, plugged, dep, demand, *, chunk: int, n_chunks: int,
             n: int, w: int, iters: int, rho: float, alpha: float,
-            project: bool, proj_method: str, use_rng: bool):
+            project: bool, proj_method: str, restart: bool, use_rng: bool):
     # 2D grid (group, step-chunk): the wx table streams through VMEM in
     # chunk-sized blocks so the lane width can grow past what a whole
     # 288-step block allows (w=512 needs 80MB/block unchunked); the station
@@ -235,11 +235,12 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
             v = y + fsteps * cx
             nr = jnp.sqrt(_cone_norm_sq(v) + 1e-12)
             lam_new = v * _both(jnp.maximum(0.0, 1.0 - tr / nr))
-            # gradient restart (O'Donoghue & Candes) — padded rows are
-            # zero in every lam iterate, so the row sum is exact
-            prog = jnp.sum((lam_new - lam) * (lam - lam_prev),
-                           axis=0, keepdims=True)
-            tk1 = jnp.where(prog < 0.0, 1.0, tk1)
+            if restart:
+                # gradient restart (O'Donoghue & Candes) — padded rows are
+                # zero in every lam iterate, so the row sum is exact
+                prog = jnp.sum((lam_new - lam) * (lam - lam_prev),
+                               axis=0, keepdims=True)
+                tk1 = jnp.where(prog < 0.0, 1.0, tk1)
             return (lam_new, lam, tk1)
 
         tk0 = minp[0:1] * 0.0 + 1.0
@@ -315,12 +316,13 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("steps", "n", "w", "iters", "rho", "alpha",
-                              "project", "proj_method", "use_rng",
-                              "interpret"))
+                              "project", "proj_method", "restart",
+                              "use_rng", "interpret"))
 def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
                      steps: int, n: int, w: int, iters: int, rho: float,
                      alpha: float, project: bool, proj_method: str,
-                     use_rng: bool, interpret: bool = False) -> jax.Array:
+                     restart: bool, use_rng: bool,
+                     interpret: bool = False) -> jax.Array:
     """Runs one lockstep episode segment for nb * w envs; see module
     layouts. Returns (nb, steps, 8, w) reward/info rows.
 
@@ -331,9 +333,14 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
     loop's serialized iteration latency."""
     nb = wx.shape[0]
     # chunk sized to keep the double-buffered wx block under VMEM at the
-    # chosen lane width (block bytes = chunk * 136 * w * 4 * 2)
-    cand = 36 if w <= 2048 else 12
-    chunk = cand if steps % cand == 0 else steps
+    # chosen lane width (block bytes = chunk * _WX_ROWS * w * 4 * 2,
+    # budget ~81MB: 36 * 136 * 2048 * 8 = 80.2MB measured compiling within
+    # the 112MB limit alongside the other blocks). The chunk must divide
+    # ``steps``; take the largest divisor within budget — arbitrary step
+    # counts stay compilable at any width (a whole-segment fallback chunk
+    # at w=2048 needs 214MB for steps=96 and fails Mosaic).
+    chunk_max = max(1, min(36, (81 * 1024 * 1024) // (_WX_ROWS * w * 8)))
+    chunk = max(d for d in range(1, chunk_max + 1) if steps % d == 0)
     n_chunks = steps // chunk
     wx = wx.reshape(nb, n_chunks, chunk, _WX_ROWS, w)
     if use_rng:
@@ -349,7 +356,7 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
         functools.partial(_kernel, chunk=chunk, n_chunks=n_chunks, n=n,
                           w=w, iters=iters, rho=rho, alpha=alpha,
                           project=project, proj_method=proj_method,
-                          use_rng=use_rng),
+                          restart=restart, use_rng=use_rng),
         grid=(nb, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -549,7 +549,8 @@ def test_gmm_bank_matches_reference_sampler_distribution():
     assert ks_req.pvalue > 1e-3, (ks_req,)
 
 
-def test_gmm_sampler_bit_exact_vs_sklearn():
+@pytest.mark.parametrize("site", ["caltech", "jpl"])
+def test_gmm_sampler_bit_exact_vs_sklearn(site):
     """The sklearn-free sampler reproduces the reference's GMM day
     BIT-EXACTLY: runs the reference's _create_events algorithm
     (event_generation.py:416-515) with the REAL sklearn GaussianMixture
@@ -559,7 +560,7 @@ def test_gmm_sampler_bit_exact_vs_sklearn():
     fresh-RandomState-per-sample-call quirk, the pandas quicksort tie
     order, and the Generator station-choice stream."""
     pickle_path = os.path.join(
-        "/root/reference/sustaingym/data/evcharging/gmms/caltech",
+        f"/root/reference/sustaingym/data/evcharging/gmms/{site}",
         "2021-05-01 2021-08-31 30.pkl")
     sklearn = pytest.importorskip("sklearn")  # noqa: F841 (unpickle needs it)
     if not os.path.exists(pickle_path):
@@ -585,6 +586,8 @@ def test_gmm_sampler_bit_exact_vs_sklearn():
         rng = np.random.default_rng(seed)
         n = int(rng.choice(cnt))
         all_s, total = [], 0
+        # reference _sample(0) short-circuits to an empty array
+        # (event_generation.py:431-432) — JPL has zero-session days
         while total < n:
             s = gmm.sample(int(n * 1.2))[0]
             s = s[(0 <= s[:, 0]) & (s[:, 1] < 1) & (s[:, 2] < 1)
@@ -594,7 +597,8 @@ def test_gmm_sampler_bit_exact_vs_sklearn():
             s[:, 3] *= ESCALE
             all_s.append(s)
             total += len(s)
-        ref_samples = np.concatenate(all_s)[:n]
+        ref_samples = (np.concatenate(all_s)[:n] if all_s
+                       else np.empty((0, 4)))
         # station assignment: pandas sort_values('arrival') == quicksort
         order = np.argsort(ref_samples[:, 0].astype(np.int64),
                            kind="quicksort")
@@ -614,7 +618,7 @@ def test_gmm_sampler_bit_exact_vs_sklearn():
             ref_assigned[i] = idx
 
         # --- this repo's sklearn-free replica ---------------------------
-        data = load_gmm("caltech", "Summer 2021", 30)
+        data = load_gmm(site, "Summer 2021", 30)
         # npz export content == pickle content
         np.testing.assert_array_equal(data["count"], cnt)
         np.testing.assert_array_equal(data["station_usage"], usage)
