@@ -76,7 +76,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--gamma", type=float, default=0.99)
     parser.add_argument("--epochs", type=int, default=4)
-    parser.add_argument("--minibatches", type=int, default=8)
+    parser.add_argument("--minibatches", type=int, default=8,
+                        help="PPO minibatch count; target ~32k-row "
+                             "minibatches (larger spills activations to "
+                             "HBM — docs/benchmarks.md #5)")
+    parser.add_argument("--obs-bf16", action="store_true",
+                        help="PPO: store observations in bfloat16 "
+                             "end-to-end (exact epoch-0 ratios; halves "
+                             "obs HBM traffic for wide-obs envs)")
     parser.add_argument("--reward-scale", type=float, default=None,
                         help="reward multiplier before GAE (default: 1e-4 "
                              "for the 1e4-penalty-scale cogen envs, else 1)")
@@ -141,8 +148,11 @@ def main(argv: list[str] | None = None) -> None:
                         rollout_len=args.rollout_len,
                         hidden=args.hidden, lr=args.lr, gamma=args.gamma,
                         epochs=args.epochs, minibatches=args.minibatches,
-                        reward_scale=reward_scale)
+                        reward_scale=reward_scale, obs_bf16=args.obs_bf16)
         init_state, train_step = make_train_step(env, env_params, cfg)
+        if getattr(train_step, "episodic", False):
+            print("episodic fast path: whole-episode rollouts via "
+                  "batch_unroll (rollout_len == episode length)")
 
     key = jax.random.PRNGKey(args.seed)
     carry = init_state(key)
