@@ -175,7 +175,9 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
     import jax
 
     from sustaingym_tpu import make
-    from sustaingym_tpu.parallel import (PPOConfig, SACConfig,
+    from sustaingym_tpu.parallel import (DDPGConfig, DQNConfig, PPOConfig,
+                                         SACConfig, make_ddpg_train_step,
+                                         make_dqn_train_step,
                                          make_sac_train_step,
                                          make_train_step)
 
@@ -183,6 +185,12 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
     if algo == "sac":
         cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len)
         init_state, train_step = make_sac_train_step(env, params, cfg)
+    elif algo == "dqn":
+        cfg = DQNConfig(num_envs=num_envs, rollout_len=rollout_len)
+        init_state, train_step = make_dqn_train_step(env, params, cfg)
+    elif algo == "ddpg":
+        cfg = DDPGConfig(num_envs=num_envs, rollout_len=rollout_len)
+        init_state, train_step = make_ddpg_train_step(env, params, cfg)
     else:
         kw = {} if minibatches is None else {"minibatches": minibatches}
         cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len,
@@ -466,6 +474,14 @@ def main() -> None:
             minibatches=36, obs_bf16=True, algo="ppo",
             metric_name="ppo_ma_evcharging_train_agent_steps_per_s_per_chip",
             project_action=False, periods_delay=0))), flush=True)
+        # off-policy learners on the SCED market (the market doc's
+        # algorithm set) — every shipped algorithm is driver-visible
+        print(json.dumps(_stamp_expected(bench_train(
+            "electricitymarket", num_envs=4096, rollout_len=32,
+            algo="dqn", discrete=True))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "electricitymarket", num_envs=4096, rollout_len=32,
+            algo="ddpg"))), flush=True)
         # sharded-program weak-scaling validation line (virtual devices)
         scal = bench_scaling_virtual(8)
         if scal is not None:
