@@ -212,6 +212,13 @@ def make_ddpg_train_step(env: FunctionalEnv, env_params, cfg: DDPGConfig,
                **{k: v.mean() for k, v in metrics.items()}}
         return carry, out
 
+    def actor_fn(actor, obs_raw):
+        """Deterministic eval actions (no exploration noise)."""
+        obs_f = jax.vmap(obs_fn)(obs_raw)
+        return to_env_action(det_actor_apply(actor, obs_f))
+
+    train_step.actor_fn = actor_fn
+    train_step.actor_key = "actor"
     return init_state, train_step
 
 

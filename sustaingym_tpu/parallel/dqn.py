@@ -232,6 +232,14 @@ def make_dqn_train_step(env: FunctionalEnv, env_params, cfg: DQNConfig,
                **{k: v.mean() for k, v in metrics.items()}}
         return carry, out
 
+    def actor_fn(qnet, obs_raw):
+        """Greedy-Q eval actions (epsilon=0)."""
+        obs_f = jax.vmap(obs_fn)(obs_raw)
+        q = qnet_apply(qnet, obs_f, act_dim, n_bins)
+        return to_env_action(jnp.argmax(q, axis=-1).astype(jnp.int32))
+
+    train_step.actor_fn = actor_fn
+    train_step.actor_key = "qnet"
     return init_state, train_step
 
 

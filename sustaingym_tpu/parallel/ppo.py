@@ -600,7 +600,20 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         }
         return new_carry, out_metrics
 
+    def actor_fn(policy, obs_raw):
+        """Deterministic greedy actions from raw batched obs — the
+        evaluation-time policy (SB3 eval's deterministic=True analogue,
+        reference train_stable_baselines.py:126)."""
+        obs_f = jax.vmap(obs_fn)(obs_raw)
+        mu, _, _ = apply_fn(policy, obs_f)
+        if discrete:
+            logits = mu.reshape(mu.shape[:-1] + (act_dim, n_bins))
+            return jnp.argmax(logits, axis=-1)
+        return act_transform(mu)
+
     train_step.episodic = episodic  # introspection (tests/bench labeling)
+    train_step.actor_fn = actor_fn       # deterministic eval policy
+    train_step.actor_key = "policy"      # carry subtree holding its params
     return init_state, train_step
 
 

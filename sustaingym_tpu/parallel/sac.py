@@ -310,6 +310,14 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
                **{k: v.mean() for k, v in metrics.items()}}
         return carry, out
 
+    def actor_fn(actor, obs_raw):
+        """Deterministic eval actions: tanh(mu) through the env mapping."""
+        obs_f = jax.vmap(obs_fn)(obs_raw)
+        mu, _ = actor_apply(actor, obs_f)
+        return to_env_action(jnp.tanh(mu))
+
+    train_step.actor_fn = actor_fn
+    train_step.actor_key = "actor"
     return init_state, train_step
 
 

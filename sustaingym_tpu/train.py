@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--reward-scale", type=float, default=None,
                         help="reward multiplier before GAE (default: 1e-4 "
                              "for the 1e4-penalty-scale cogen envs, else 1)")
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="evaluate the deterministic policy every N "
+                             "iterations (0 = off) — the SB3 "
+                             "EvalCallbackWithBreakdown analogue "
+                             "(reference train_stable_baselines.py:67-153): "
+                             "writes eval_results.csv with the mean return "
+                             "and per-term reward breakdown, and saves the "
+                             "best policy to <log-dir>/best_model")
+    parser.add_argument("--eval-episodes", type=int, default=5,
+                        help="episodes per evaluation (SB3 default 5)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-dir", default="runs/default")
     parser.add_argument("--save-every", type=int, default=10)
@@ -175,6 +185,32 @@ def main(argv: list[str] | None = None) -> None:
     csv_path = os.path.join(args.log_dir, "train_results.csv")
     ckpt_dir = os.path.join(args.log_dir, "checkpoints")
 
+    evaluate = None
+    if args.eval_every:
+        from sustaingym_tpu.core import batch_rollout
+
+        ep_len = (env.episode_steps(env_params)
+                  if hasattr(env, "episode_steps") else None) or 288
+        actor_fn = train_step.actor_fn
+        n_eval = args.eval_episodes
+
+        def eval_policy(actor_params, obs, key):
+            del key  # deterministic
+            return actor_fn(actor_params, obs)
+
+        @jax.jit
+        def evaluate(actor_params, key):
+            traj = batch_rollout(env, env_params, eval_policy, actor_params,
+                                 key, n_eval, ep_len)
+            rew = traj.reward
+            if rew.ndim == 3:        # agent-axis: sum per-agent rewards
+                rew = rew.sum(-1)    # (reference algorithms/base.py:80-88)
+            returns = rew.sum(0)
+            breakdown = {
+                k: v.mean() for k, v in traj.info.items()
+                if hasattr(v, "dtype") and v.dtype.kind == "f"}
+            return returns.mean(), breakdown
+
     steps_per_iter = cfg.num_envs * cfg.rollout_len
 
     with open(csv_path, "a", newline="") as f:
@@ -196,6 +232,33 @@ def main(argv: list[str] | None = None) -> None:
             f.flush()
             print(f"iter {i}: reward={metrics['mean_reward']:.4f} "
                   f"({metrics['env_steps_per_s']:.0f} steps/s)")
+
+        eval_csv = os.path.join(args.log_dir, "eval_results.csv")
+        best_return = float("-inf")
+        eval_writer = None
+        eval_f = open(eval_csv, "a", newline="") if evaluate else None
+
+        def run_eval(i, carry):
+            nonlocal best_return, eval_writer
+            mean_ret, breakdown = jax.device_get(evaluate(
+                carry[train_step.actor_key],
+                jax.random.fold_in(key, 500_000 + i)))
+            row = {"iteration": i, "mean_return": float(mean_ret),
+                   **{k: float(v) for k, v in breakdown.items()}}
+            if eval_writer is None:
+                eval_writer = csv.DictWriter(eval_f, fieldnames=list(row))
+                if eval_f.tell() == 0:
+                    eval_writer.writeheader()
+            eval_writer.writerow(row)
+            eval_f.flush()
+            marker = ""
+            if row["mean_return"] > best_return:
+                best_return = row["mean_return"]
+                save_checkpoint(os.path.join(args.log_dir, "best_model"),
+                                carry, i)
+                marker = " (new best — saved)"
+            print(f"eval @ iter {i}: return={row['mean_return']:.4f}"
+                  f"{marker}")
 
         pending = None
         # trace iterations 2-4 (post-compile); the stop index is clamped into
@@ -223,8 +286,12 @@ def main(argv: list[str] | None = None) -> None:
             if (i + 1) % args.save_every == 0:
                 save_checkpoint(ckpt_dir, carry, i + 1)
                 print(f"checkpoint saved at iteration {i + 1}")
+            if evaluate is not None and (i + 1) % args.eval_every == 0:
+                run_eval(i + 1, carry)
         if pending is not None:
             log(pending[0], pending[1], time.perf_counter() - t_prev)
+        if eval_f is not None:
+            eval_f.close()
 
     save_checkpoint(ckpt_dir, carry, start_iter + args.iterations)
     print(f"done; logs in {csv_path}")

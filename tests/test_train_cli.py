@@ -82,3 +82,29 @@ def test_checkpoint_roundtrip_exact(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("algo,extra", [
+    ("ppo", []),
+    ("sac", []),
+    ("ddpg", []),
+])
+def test_eval_callback_writes_breakdown_and_best_model(tmp_path, algo, extra):
+    """--eval-every runs deterministic-policy evaluations (the SB3
+    EvalCallbackWithBreakdown analogue): eval_results.csv carries the mean
+    return plus reward-breakdown columns, and the best policy is saved to
+    <log-dir>/best_model."""
+    log_dir = str(tmp_path / f"eval_{algo}")
+    main(["--env", "building", "--algo", algo,
+          "--num-envs", "4", "--rollout-len", "4", "--hidden", "16",
+          "--minibatches", "2",
+          "--eval-every", "2", "--eval-episodes", "2",
+          "--log-dir", log_dir, "--iterations", "2",
+          "--save-every", "100"] + extra)
+    rows = _read_csv(os.path.join(log_dir, "eval_results.csv"))
+    assert len(rows) == 1
+    assert "mean_return" in rows[0]
+    # building's reward breakdown (comfort/power) flows through info
+    assert "comfort_level" in rows[0] and "power_consumption" in rows[0]
+    assert np.isfinite(float(rows[0]["mean_return"]))
+    assert os.path.isdir(os.path.join(log_dir, "best_model"))
