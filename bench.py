@@ -400,6 +400,19 @@ def _stamp_expected(result: dict) -> dict:
 
 
 def main() -> None:
+    # persistent compilation cache: the full suite is compile-dominated.
+    # Under the axon tunnel the compile server keeps its own cache (a
+    # repeated single-env run measured 144s -> 13s without this dir ever
+    # filling); the jax-level dir additionally covers non-tunneled
+    # backends (CPU CI, real slices).
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/sustaingym_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the persistent cache API
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="all",
                         help="one env, or 'all' (default): one JSON line "
