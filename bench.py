@@ -167,8 +167,9 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
                 **make_kwargs) -> dict:
     """Fused train-step throughput (rollout + update as ONE program) — the
     learner-side counterpart of the env rollouts. ``algo``: 'ppo' (rollout
-    + GAE + block-shuffled minibatch epochs) or 'sac' (off-policy
-    on-device replay ring + twin-critic gradient steps). For agent-axis
+    + GAE + block-shuffled minibatch epochs), 'sac' (off-policy on-device
+    replay ring + twin-critic gradient steps), 'dqn' (double-DQN) or
+    'ddpg' (TD3-style). For agent-axis
     multi-agent envs the value is AGENT-steps/s (env-steps x n_agents),
     matching the RLLib multi-agent accounting the line replaces
     (reference examples/evcharging/train_rllib.py:157-160)."""
@@ -423,9 +424,11 @@ def main() -> None:
                         help="scan length (default: the env's episode "
                              "length: 288, cogen 96, datacenter 672)")
     parser.add_argument("--measure-reference", action="store_true")
-    parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"],
+    parser.add_argument("--algo", default="ppo",
+                        choices=["ppo", "sac", "dqn", "ddpg"],
                         help="--env train only: which learner to bench "
-                             "(the full suite emits both)")
+                             "(the full suite emits all; dqn/ddpg bench "
+                             "on the discrete/continuous market)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the final timed "
                              "repeat to DIR")
@@ -447,7 +450,15 @@ def main() -> None:
         return
 
     if args.env == "train":
-        print(json.dumps(bench_train(algo=args.algo)), flush=True)
+        if args.algo == "dqn":
+            result = bench_train("electricitymarket", num_envs=4096,
+                                 rollout_len=32, algo="dqn", discrete=True)
+        elif args.algo == "ddpg":
+            result = bench_train("electricitymarket", num_envs=4096,
+                                 rollout_len=32, algo="ddpg")
+        else:
+            result = bench_train(algo=args.algo)
+        print(json.dumps(result), flush=True)
         return
 
     envs = (list(SUITE_BATCH) if args.env == "all" else [args.env])

@@ -88,6 +88,9 @@ class MultiAgentBuildingEnv(FunctionalEnv):
     def action_space(self, params):
         return Box(-1.0, 1.0, (len(self.agent_ids(params)), 1))
 
+    def episode_steps(self, params):
+        return self.base.episode_steps(params)
+
 
 # ---------------------------------------------------------------------------
 # Cogen
@@ -124,6 +127,10 @@ class MultiAgentCogenEnv(FunctionalEnv):
 
     name = "cogen-multiagent"
     agent_axis = True
+
+    def episode_steps(self, params):
+        return self.base.episode_steps(params)
+
     # heterogeneous per-agent action dims (4/4/4/3): the native learner must
     # stack per-agent policy params and mask the padded slot rather than
     # share one policy across the agent axis
@@ -241,6 +248,9 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
 
     def __init__(self, base: EVChargingEnv | None = None):
         self.base = base or EVChargingEnv()
+
+    def episode_steps(self, params: MAEVParams):
+        return self.base.episode_steps(params.base)
 
     # flat layout mirrors gymnasium.spaces.flatten over the obs Dict in key
     # insertion order (evcharging/multiagent_env.py:115)

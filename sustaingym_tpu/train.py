@@ -235,6 +235,16 @@ def main(argv: list[str] | None = None) -> None:
 
         eval_csv = os.path.join(args.log_dir, "eval_results.csv")
         best_return = float("-inf")
+        if evaluate and os.path.exists(eval_csv):
+            # resuming: recover the best-so-far from the existing log so a
+            # restarted run cannot clobber best_model with a worse policy
+            with open(eval_csv, newline="") as prev:
+                for row in csv.DictReader(prev):
+                    try:
+                        best_return = max(best_return,
+                                          float(row["mean_return"]))
+                    except (KeyError, ValueError):
+                        pass
         eval_writer = None
         eval_f = open(eval_csv, "a", newline="") if evaluate else None
 
@@ -283,11 +293,20 @@ def main(argv: list[str] | None = None) -> None:
                 log(pending[0], pending[1], t_now - t_prev)
                 t_prev = t_now
             pending = (i, metrics)
-            if (i + 1) % args.save_every == 0:
-                save_checkpoint(ckpt_dir, carry, i + 1)
-                print(f"checkpoint saved at iteration {i + 1}")
-            if evaluate is not None and (i + 1) % args.eval_every == 0:
-                run_eval(i + 1, carry)
+            if ((i + 1) % args.save_every == 0
+                    or (evaluate is not None
+                        and (i + 1) % args.eval_every == 0)):
+                # blocking host work (orbax save, synchronous eval) must not
+                # be charged to the pending iteration's env_steps_per_s — a
+                # 30s eval would otherwise masquerade as a throughput
+                # regression in train_results.csv
+                t_block = time.perf_counter()
+                if (i + 1) % args.save_every == 0:
+                    save_checkpoint(ckpt_dir, carry, i + 1)
+                    print(f"checkpoint saved at iteration {i + 1}")
+                if evaluate is not None and (i + 1) % args.eval_every == 0:
+                    run_eval(i + 1, carry)
+                t_prev += time.perf_counter() - t_block
         if pending is not None:
             log(pending[0], pending[1], time.perf_counter() - t_prev)
         if eval_f is not None:

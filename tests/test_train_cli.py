@@ -84,12 +84,8 @@ def test_checkpoint_roundtrip_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("algo,extra", [
-    ("ppo", []),
-    ("sac", []),
-    ("ddpg", []),
-])
-def test_eval_callback_writes_breakdown_and_best_model(tmp_path, algo, extra):
+@pytest.mark.parametrize("algo", ["ppo", "sac", "ddpg"])
+def test_eval_callback_writes_breakdown_and_best_model(tmp_path, algo):
     """--eval-every runs deterministic-policy evaluations (the SB3
     EvalCallbackWithBreakdown analogue): eval_results.csv carries the mean
     return plus reward-breakdown columns, and the best policy is saved to
@@ -100,7 +96,7 @@ def test_eval_callback_writes_breakdown_and_best_model(tmp_path, algo, extra):
           "--minibatches", "2",
           "--eval-every", "2", "--eval-episodes", "2",
           "--log-dir", log_dir, "--iterations", "2",
-          "--save-every", "100"] + extra)
+          "--save-every", "100"])
     rows = _read_csv(os.path.join(log_dir, "eval_results.csv"))
     assert len(rows) == 1
     assert "mean_return" in rows[0]
