@@ -23,7 +23,7 @@ import optax
 from ..core import FunctionalEnv, autoreset_vstep
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
-from .replay import sample_transitions, write_transition
+from .replay import sample_transitions, write_block, write_transition
 from .runner import run_train_loop
 from .sac import _dense, critic_apply, init_critic
 
@@ -124,9 +124,13 @@ def make_ddpg_train_step(env: FunctionalEnv, env_params, cfg: DDPGConfig,
                 "env_states": states, "obs": obs, "buffer": buffer,
                 "written": jnp.zeros((), jnp.int32)}
 
+    # see replay.write_block: ring stays out of the scan carry when the
+    # capacity is a rollout multiple (ring-sized while-boundary copies)
+    block_write = cfg.capacity % cfg.rollout_len == 0
+
     def rollout(actor, env_states, obs, buffer, written, key):
         def body(carry, key_t):
-            states, obs, buffer, written = carry
+            states, obs, *ring = carry
             k_noise, k_env = jax.random.split(key_t)
             a = det_actor_apply(actor, obs)
             a = jnp.clip(a + cfg.expl_noise * jax.random.normal(
@@ -137,16 +141,23 @@ def make_ddpg_train_step(env: FunctionalEnv, env_params, cfg: DDPGConfig,
             reward, done = ts.reward, ts.done
             if done.ndim < reward.ndim:
                 done = jnp.broadcast_to(done[..., None], reward.shape)
-            buffer = write_transition(
-                buffer,
-                {"obs": obs, "act": a, "reward": reward,
-                 "next_obs": next_obs, "done": done.astype(jnp.float32)},
-                written, cfg.capacity)
-            return (states, next_obs, buffer, written + 1), reward.mean()
+            tr = {"obs": obs, "act": a, "reward": reward,
+                  "next_obs": next_obs, "done": done.astype(jnp.float32)}
+            if block_write:
+                return (states, next_obs), (tr, reward.mean())
+            buffer, written = ring
+            buffer = write_transition(buffer, tr, written, cfg.capacity)
+            return (states, next_obs, buffer, written + 1), (None, reward.mean())
 
         keys = jax.random.split(key, cfg.rollout_len)
-        (env_states, obs, buffer, written), rews = jax.lax.scan(
-            body, (env_states, obs, buffer, written), keys)
+        if block_write:
+            (env_states, obs), (block, rews) = jax.lax.scan(
+                body, (env_states, obs), keys)
+            buffer = write_block(buffer, block, written, cfg.capacity)
+            written = written + cfg.rollout_len
+        else:
+            (env_states, obs, buffer, written), (_, rews) = jax.lax.scan(
+                body, (env_states, obs, buffer, written), keys)
         return env_states, obs, buffer, written, rews.mean()
 
     def sample(buffer, written, key):

@@ -30,7 +30,7 @@ from ..core import FunctionalEnv, autoreset_vstep
 from ..core.spaces import Discrete, MultiDiscrete
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
-from .replay import sample_transitions, write_transition
+from .replay import sample_transitions, write_block, write_transition
 from .runner import run_train_loop
 from .sac import _dense
 
@@ -149,9 +149,13 @@ def make_dqn_train_step(env: FunctionalEnv, env_params, cfg: DQNConfig,
         frac = jnp.clip(it.astype(jnp.float32) / cfg.eps_decay_iters, 0, 1)
         return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
 
+    # see replay.write_block: ring stays out of the scan carry when the
+    # capacity is a rollout multiple (ring-sized while-boundary copies)
+    block_write = cfg.capacity % cfg.rollout_len == 0
+
     def rollout(qnet, env_states, obs, buffer, written, eps, key):
         def body(carry, key_t):
-            states, obs, buffer, written = carry
+            states, obs, *ring = carry
             k_greedy, k_expl, k_mask, k_env = jax.random.split(key_t, 4)
             q = qnet_apply(qnet, obs, act_dim, n_bins)
             greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
@@ -166,16 +170,23 @@ def make_dqn_train_step(env: FunctionalEnv, env_params, cfg: DQNConfig,
             done = ts.done
             if done.ndim < reward.ndim:  # agent-axis rewards
                 done = jnp.broadcast_to(done[..., None], reward.shape)
-            buffer = write_transition(
-                buffer,
-                {"obs": obs, "act": a, "reward": reward,
-                 "next_obs": next_obs, "done": done.astype(jnp.float32)},
-                written, cfg.capacity)
-            return (states, next_obs, buffer, written + 1), reward.mean()
+            tr = {"obs": obs, "act": a, "reward": reward,
+                  "next_obs": next_obs, "done": done.astype(jnp.float32)}
+            if block_write:
+                return (states, next_obs), (tr, reward.mean())
+            buffer, written = ring
+            buffer = write_transition(buffer, tr, written, cfg.capacity)
+            return (states, next_obs, buffer, written + 1), (None, reward.mean())
 
         keys = jax.random.split(key, cfg.rollout_len)
-        (env_states, obs, buffer, written), rews = jax.lax.scan(
-            body, (env_states, obs, buffer, written), keys)
+        if block_write:
+            (env_states, obs), (block, rews) = jax.lax.scan(
+                body, (env_states, obs), keys)
+            buffer = write_block(buffer, block, written, cfg.capacity)
+            written = written + cfg.rollout_len
+        else:
+            (env_states, obs, buffer, written), (_, rews) = jax.lax.scan(
+                body, (env_states, obs, buffer, written), keys)
         return env_states, obs, buffer, written, rews.mean()
 
     def sample(buffer, written, key):

@@ -30,7 +30,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_ring", "write_transition", "sample_transitions"]
+__all__ = ["init_ring", "write_transition", "write_block",
+           "sample_transitions"]
 
 
 def init_ring(capacity: int, fields: dict[str, tuple[tuple, object]]
@@ -47,6 +48,24 @@ def write_transition(buffer: dict, tr: dict, written: jax.Array,
     slot = written % capacity
     return {k: jax.lax.dynamic_update_index_in_dim(
         buffer[k], tr[k].astype(buffer[k].dtype), slot, axis=0)
+        for k in buffer}
+
+
+def write_block(buffer: dict, block: dict, written: jax.Array,
+                capacity: int) -> dict:
+    """Writes a whole (T, ...) transition block starting at slot
+    ``written % capacity`` with ONE dynamic_update_slice per field.
+
+    Callers advance ``written`` by T per call and guarantee
+    ``capacity % T == 0``, so the write never wraps. This replaces T
+    per-step writes from inside the rollout scan: carrying the full ring
+    through the scan made XLA materialize ring-sized copies/layout
+    converts at the while-loop boundaries (~1.9ms of a 21ms SAC train
+    step at 4096x64, xprof round 4).
+    """
+    start = written % capacity
+    return {k: jax.lax.dynamic_update_slice_in_dim(
+        buffer[k], block[k].astype(buffer[k].dtype), start, axis=0)
         for k in buffer}
 
 

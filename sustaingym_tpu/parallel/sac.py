@@ -28,7 +28,7 @@ import optax
 from ..core import FunctionalEnv, autoreset_vstep
 from ..core.struct import dataclass, static_field
 from .ppo import flat_obs_fn
-from .replay import sample_transitions, write_transition
+from .replay import sample_transitions, write_block, write_transition
 from .runner import run_train_loop
 
 __all__ = ["SACConfig", "make_sac_train_step", "train_sac"]
@@ -203,9 +203,14 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
             "written": jnp.zeros((), jnp.int32),
         }
 
+    # block-write mode keeps the ring OUT of the rollout scan carry (see
+    # replay.write_block); falls back to in-scan per-step writes when the
+    # capacity is not a rollout multiple
+    block_write = cfg.capacity % cfg.rollout_len == 0
+
     def rollout(actor, env_states, obs, buffer, written, key):
         def body(carry, key_t):
-            states, obs, buffer, written = carry
+            states, obs, *ring = carry
             k_act, k_env = jax.random.split(key_t)
             mu, log_std = actor_apply(actor, obs)
             a, _ = _sample_tanh_gauss(k_act, mu, log_std)
@@ -216,16 +221,23 @@ def make_sac_train_step(env: FunctionalEnv, env_params, cfg: SACConfig,
             done = ts.done
             if done.ndim < reward.ndim:  # agent-axis rewards
                 done = jnp.broadcast_to(done[..., None], reward.shape)
-            buffer = write_transition(
-                buffer,
-                {"obs": obs, "act": a, "reward": reward,
-                 "next_obs": next_obs, "done": done.astype(jnp.float32)},
-                written, cfg.capacity)
-            return (states, next_obs, buffer, written + 1), reward.mean()
+            tr = {"obs": obs, "act": a, "reward": reward,
+                  "next_obs": next_obs, "done": done.astype(jnp.float32)}
+            if block_write:
+                return (states, next_obs), (tr, reward.mean())
+            buffer, written = ring
+            buffer = write_transition(buffer, tr, written, cfg.capacity)
+            return (states, next_obs, buffer, written + 1), (None, reward.mean())
 
         keys = jax.random.split(key, cfg.rollout_len)
-        (env_states, obs, buffer, written), rews = jax.lax.scan(
-            body, (env_states, obs, buffer, written), keys)
+        if block_write:
+            (env_states, obs), (block, rews) = jax.lax.scan(
+                body, (env_states, obs), keys)
+            buffer = write_block(buffer, block, written, cfg.capacity)
+            written = written + cfg.rollout_len
+        else:
+            (env_states, obs, buffer, written), (_, rews) = jax.lax.scan(
+                body, (env_states, obs, buffer, written), keys)
         return env_states, obs, buffer, written, rews.mean()
 
     def sample(buffer, written, key):
