@@ -249,14 +249,14 @@ def bench_scaling_virtual(n_devices: int = 8) -> dict | None:
                           f" --xla_force_host_platform_device_count={n_devices}"))
     cmd = [sys.executable, "-m", "sustaingym_tpu.bench.scaling",
            "--devices", "1", str(n_devices), "--num-envs", "64",
-           "--rollout-len", "16", "--iters", "3"]
+           "--rollout-len", "16", "--iters", "3", "--equivalence"]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=900, env=env,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
         return None
-    eff = None
+    eff = eq = None
     for line in out.stdout.splitlines():
         try:
             d = json.loads(line)
@@ -264,9 +264,11 @@ def bench_scaling_virtual(n_devices: int = 8) -> dict | None:
             continue
         if "scaling_efficiency" in d:
             eff = d
+        if "dp1_vs_dpN_metrics_max_abs_diff" in d:
+            eq = d
     if eff is None:
         return None
-    return {
+    result = {
         "metric": "ppo_building_weak_scaling_efficiency_virtual",
         "value": eff["scaling_efficiency"],
         "unit": f"efficiency_1_to_{eff['devices']}_devices",
@@ -274,6 +276,14 @@ def bench_scaling_virtual(n_devices: int = 8) -> dict | None:
                   "validates sharded program, not real-chip efficiency)",
         "vs_baseline": None,
     }
+    if eq is not None:
+        # the correctness signal the efficiency number lacks (round-4
+        # verdict): one PPO step from identical carries at dp=1 vs dp=N
+        # agrees to float-reassociation noise — a layout/collective bug
+        # would blow this up
+        result["dp1_vs_dpN_metrics_max_abs_diff"] = (
+            eq["dp1_vs_dpN_metrics_max_abs_diff"])
+    return result
 
 
 def measure_reference() -> None:

@@ -74,6 +74,45 @@ def measure(n_devices: int, env_name: str, num_envs: int, rollout_len: int,
             "seconds": round(dt, 3)}
 
 
+def equivalence(n_devices: int, env_name: str, num_envs: int,
+                rollout_len: int, mp: int = 1) -> dict:
+    """Correctness signal for the scaling artifact (round-4 verdict): run
+    ONE PPO train step from IDENTICAL initial carries at dp=1 and at
+    dp=``n_devices`` (same total batch, same keys) and report the max abs
+    diff over the returned metrics. Sharding only changes XLA's reduction
+    tree, so the diff is float-reassociation noise (~1e-6 relative) — a
+    layout/collective bug would show up as a large value here.
+    ``tests/test_debug_distributed.py`` pins the stronger bit-identical
+    claim for same-sharding multi-process runs; this line travels with the
+    (virtual, otherwise meaningless) efficiency number in BENCH."""
+    import jax
+
+    from .. import make
+    from ..parallel import PPOConfig, make_mesh
+    from ..parallel.mesh import data_sharding, replicated
+    from ..parallel.ppo import _shard_carry, make_train_step
+
+    env, params = make(env_name)
+    cfg = PPOConfig(num_envs=num_envs, rollout_len=rollout_len)
+    init_state, train_step = make_train_step(env, params, cfg)
+
+    metrics = {}
+    for n in (1, n_devices):
+        mesh = make_mesh(n, mp=mp)
+        carry = init_state(jax.random.PRNGKey(0))
+        carry = _shard_carry(carry, mesh, data_sharding(mesh),
+                             replicated(mesh))
+        _, m = jax.jit(train_step, donate_argnums=0)(
+            carry, jax.random.PRNGKey(1))
+        metrics[n] = {k: float(v) for k, v in jax.device_get(m).items()}
+    diff = max(abs(metrics[1][k] - metrics[n_devices][k])
+               for k in metrics[1])
+    return {"dp1_vs_dpN_metrics_max_abs_diff": diff,
+            "devices": n_devices,
+            "metrics_dp1": metrics[1],
+            "metrics_dpN": metrics[n_devices]}
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--env", default="building")
@@ -90,6 +129,11 @@ def main(argv=None) -> None:
     parser.add_argument("--mp", type=int, default=1)
     parser.add_argument("--algo", default="ppo", choices=["ppo", "sac"],
                         help="which fused learner to scale")
+    parser.add_argument("--equivalence", action="store_true",
+                        help="also run one PPO step at dp=1 and dp=max from "
+                             "identical carries and print the metric "
+                             "max-abs-diff (correctness signal for the "
+                             "scaling artifact)")
     args = parser.parse_args(argv)
 
     _force_cpu_if_virtual()
@@ -124,6 +168,13 @@ def main(argv=None) -> None:
             print(json.dumps({"devices": r["devices"], "algo": args.algo,
                               "scaling": r["scaling"],
                               "scaling_efficiency": round(eff, 3)}))
+    if args.equivalence:
+        n_eq = max(counts)
+        eq = equivalence(n_eq, args.env,
+                         args.num_envs if args.strong
+                         else args.num_envs * n_eq,
+                         args.rollout_len, mp=args.mp)
+        print(json.dumps(eq))
 
 
 if __name__ == "__main__":

@@ -420,6 +420,10 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
                 "revenue": z, "carbon_value": z, "terminal_cost": z}
 
     # ---- metadata --------------------------------------------------------
+    def episode_steps(self, params: MarketParams) -> int:
+        """Fixed 288-step (5-min) day, docs/electricitymarketenv.md spec."""
+        return T_STEPS
+
     def observation_space(self, params: MarketParams) -> DictSpace:
         k = params.horizon
         return DictSpace({

@@ -299,8 +299,14 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
         total_rate = jnp.sum(rates, axis=0, keepdims=True)
         agg = jnp.dot(c_ref[:], pilots, preferred_element_type=jnp.float32)
         mag = jnp.sqrt(_cone_norm_sq(agg))                  # (16, w)
-        excess = jnp.sum(jnp.maximum(mag - mags, 0.0), axis=0,
-                         keepdims=True)
+        # padded cone rows (beyond the site's m constraints) must stay
+        # EXACTLY zero in the excess sum: their c_op rows and mags are 0,
+        # so mag - mags is 0 today, but mask explicitly (real cones have
+        # mags > 0 — both packaged sites) so an epsilon added to the norm
+        # later cannot leak a constant positive bias into every reward
+        excess = jnp.sum(jnp.where(mags > 0.0,
+                                   jnp.maximum(mag - mags, 0.0), 0.0),
+                         axis=0, keepdims=True)
         profit = _PROFIT_FACTOR * total_rate
         carbon = _CARBON_COST_FACTOR * total_rate * moer0
         excess_charge = _VIOLATION_FACTOR * excess

@@ -62,8 +62,17 @@ def write_block(buffer: dict, block: dict, written: jax.Array,
     through the scan made XLA materialize ring-sized copies/layout
     converts at the while-loop boundaries (~1.9ms of a 21ms SAC train
     step at 4096x64, xprof round 4).
+
+    A checkpoint resumed under a DIFFERENT --rollout-len can carry a
+    ``written`` that is not a T-multiple; dynamic_update_slice would then
+    clamp an out-of-bounds start and silently overwrite the wrong slots
+    (ADVICE r04). The start is therefore rounded DOWN to the T-aligned
+    slot — a no-op on every aligned call, and on a misaligned resume it
+    overwrites the tail of the previous (partial) block instead of
+    corrupting an arbitrary window at the clamp boundary.
     """
-    start = written % capacity
+    T = next(iter(block.values())).shape[0]
+    start = (written % capacity) // T * T
     return {k: jax.lax.dynamic_update_slice_in_dim(
         buffer[k], block[k].astype(buffer[k].dtype), start, axis=0)
         for k in buffer}

@@ -189,8 +189,15 @@ def main(argv: list[str] | None = None) -> None:
     if args.eval_every:
         from sustaingym_tpu.core import batch_rollout
 
-        ep_len = (env.episode_steps(env_params)
-                  if hasattr(env, "episode_steps") else None) or 288
+        # every suite env (and MA view) reports its real fixed episode
+        # length — a silent fallback here once let market eval correctness
+        # rest on a coincidental 288 (ADVICE r04)
+        ep_len = env.episode_steps(env_params)
+        if not ep_len:
+            raise SystemExit(
+                f"--eval-every needs a fixed episode length, but "
+                f"{args.env} reports episode_steps="
+                f"{ep_len!r}; implement episode_steps on the env")
         actor_fn = train_step.actor_fn
         n_eval = args.eval_episodes
 
@@ -256,6 +263,18 @@ def main(argv: list[str] | None = None) -> None:
             row = {"iteration": i, "mean_return": float(mean_ret),
                    **{k: float(v) for k, v in breakdown.items()}}
             if eval_writer is None:
+                # appending into a log dir whose existing CSV has a
+                # DIFFERENT header (other env/algo, changed info keys)
+                # would misalign every appended row under the old columns
+                # (ADVICE r04) — validate instead of assuming
+                if eval_f.tell() > 0:
+                    with open(eval_csv, newline="") as prev:
+                        old = next(csv.reader(prev), None)
+                    if old is not None and old != list(row):
+                        raise SystemExit(
+                            f"{eval_csv} exists with columns {old} but this "
+                            f"run produces {list(row)}; use a fresh "
+                            f"--log-dir (or delete the stale CSV)")
                 eval_writer = csv.DictWriter(eval_f, fieldnames=list(row))
                 if eval_f.tell() == 0:
                     eval_writer.writeheader()

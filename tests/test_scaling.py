@@ -52,3 +52,19 @@ def test_scaling_cli_weak_and_strong(capsys):
     rows = [r for r in strong if "env_steps_per_s" in r]
     assert all(r["scaling"] == "strong" and r["algo"] == "sac"
                for r in rows)
+
+
+def test_dp1_vs_dp8_metric_equivalence():
+    """The scaling artifact's correctness signal (round-4 verdict item 5):
+    one PPO train step from identical carries at dp=1 and dp=8 must agree
+    to float-reassociation noise. tests/test_debug_distributed.py pins the
+    stronger bit-identical claim for same-sharding multi-process runs."""
+    from sustaingym_tpu.bench.scaling import equivalence
+
+    eq = equivalence(8, "building", 64, 8)
+    assert eq["devices"] == 8
+    assert np.isfinite(eq["dp1_vs_dpN_metrics_max_abs_diff"])
+    # vf_loss is the largest-magnitude metric (~1e3); 1e-2 absolute covers
+    # reassociation noise across all metrics with 1e5 margin over measured
+    # (1.8e-7) while still failing loudly on any real layout bug
+    assert eq["dp1_vs_dpN_metrics_max_abs_diff"] < 1e-2, eq
