@@ -225,6 +225,8 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
     if algo == "ppo":
         result["episodic_rollout"] = bool(getattr(train_step, "episodic",
                                                   False))
+        if getattr(train_step, "fused_rollout", False):
+            result["fused_policy_rollout"] = True
         if obs_bf16:
             result["obs_bf16"] = True
         if minibatches is not None:

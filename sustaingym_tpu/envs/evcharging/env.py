@@ -242,6 +242,91 @@ def battery_charge(pilot_amps: jax.Array, demand: jax.Array,
     return rate_amps, energy
 
 
+def _lockstep_ev_unroll(params: EVParams, reset_fn, reset_at_day_fn,
+                        step_row_fn, day_of, policy, policy_params,
+                        key: jax.Array, batch: int, num_steps: int
+                        ) -> TimeStep:
+    """Shared lockstep episode-unroll driver behind both
+    ``EVChargingEnv.batch_unroll`` and the multi-agent view's
+    (envs/multiagent.py) — the view adds a staleness ring + per-agent obs
+    on top of the same (day, t) row stream, so the fetch strategy and the
+    autoreset PRNG contract must not be duplicated.
+
+    ``reset_fn(key)``/``reset_at_day_fn(day)`` build one env's state+ts;
+    ``step_row_fn(state, action, row)`` steps one env given the packed
+    (day, t) table row; ``day_of(state)`` reads the (B,) day vector from
+    the vmapped state."""
+    L = MAX_TIMESTEP
+    rows_per_day = params.step_table.shape[1]
+    width = params.step_table.shape[2]
+    flat_table = params.step_table.reshape(-1, width)
+    n_days = params.n_days
+    # row-fetch strategy: a (B,)-row gather reads ~1KB per index and
+    # profiles at ~60us/step (18% of the projected rollout); with few
+    # distinct days the same rows come from ONE MXU matmul,
+    # onehot(days) @ table[t], which is EXACT at HIGHEST precision
+    # (each output element is a single 1.0 * v product) and ~3x
+    # faster. Falls back to the gather for large day banks (GMM
+    # traces) where the (B, n_days) matmul stops being cheap.
+    use_onehot = n_days <= 128
+    if use_onehot:
+        table_tm = jnp.swapaxes(params.step_table, 0, 1)  # (289, D, W)
+
+    key_init, key_scan = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    state, ts0 = jax.vmap(reset_fn)(init_keys)
+    obs = ts0.obs
+    keys = jax.random.split(key_scan, num_steps)
+    vrow = jax.vmap(step_row_fn)
+
+    parts = []
+    t0 = 0
+    while t0 < num_steps:
+        t_in_ep = t0 % L
+        seg = min(L - t_in_ep, num_steps - t0)
+        seg_keys = keys[t0:t0 + seg]
+        # all envs share the scan-step index; days are fixed within an
+        # episode segment, so the row index is one (B,) vector add
+        base = day_of(state) * rows_per_day
+        if use_onehot:
+            onehot = (day_of(state)[:, None]
+                      == jnp.arange(n_days)[None, :]).astype(
+                          params.step_table.dtype)
+
+        def body(carry, inp):
+            st, obs = carry
+            key_t, t = inp
+            key_act, key_env = jax.random.split(key_t)
+            actions = policy(policy_params, obs, key_act)
+            if use_onehot:
+                rows = jnp.matmul(
+                    onehot, table_tm[t],
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                rows = flat_table[base + t]       # (B, width) gather
+            st, ts = vrow(st, actions, rows)
+            return (st, ts.obs), (ts, key_env)
+
+        ts_idx = jnp.arange(t_in_ep, t_in_ep + seg, dtype=jnp.int32)
+        (state, obs), (traj, env_keys) = jax.lax.scan(
+            body, (state, obs), (seg_keys, ts_idx))
+
+        if t_in_ep + seg == L:
+            # episode boundary: splice in the autoreset state/obs with
+            # exactly core.autoreset_step's key derivation
+            days = EVChargingEnv._autoreset_days(params, env_keys[-1], batch)
+            state, ts_reset = jax.vmap(reset_at_day_fn)(days)
+            obs = ts_reset.obs
+            traj = traj.replace(obs=jax.tree.map(
+                lambda o, r: o.at[-1].set(r), traj.obs, obs))
+        parts.append(traj)
+        t0 += seg
+
+    if len(parts) == 1:
+        return parts[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
 class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
     name = "evcharging"
 
@@ -402,76 +487,14 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         vs 22.5M env-steps/s at batch 16384 on one v5 chip).
         """
         del prefetch  # kept for call-compat; segmenting follows episodes
-        L = MAX_TIMESTEP
-        rows_per_day = params.step_table.shape[1]
-        width = params.step_table.shape[2]
-        flat_table = params.step_table.reshape(-1, width)
-        n_days = params.n_days
-        # row-fetch strategy: a (B,)-row gather reads ~1KB per index and
-        # profiles at ~60us/step (18% of the projected rollout); with few
-        # distinct days the same rows come from ONE MXU matmul,
-        # onehot(days) @ table[t], which is EXACT at HIGHEST precision
-        # (each output element is a single 1.0 * v product) and ~3x
-        # faster. Falls back to the gather for large day banks (GMM
-        # traces) where the (B, n_days) matmul stops being cheap.
-        use_onehot = n_days <= 128
-        if use_onehot:
-            table_tm = jnp.swapaxes(params.step_table, 0, 1)  # (289, D, W)
-
-        key_init, key_scan = jax.random.split(key)
-        init_keys = jax.random.split(key_init, batch)
-        state, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(params, init_keys)
-        obs = ts0.obs
-        keys = jax.random.split(key_scan, num_steps)
-        vrow = jax.vmap(self._step_row, in_axes=(None, 0, 0, 0))
-
-        parts = []
-        t0 = 0
-        while t0 < num_steps:
-            t_in_ep = t0 % L
-            seg = min(L - t_in_ep, num_steps - t0)
-            seg_keys = keys[t0:t0 + seg]
-            # all envs share the scan-step index; days are fixed within an
-            # episode segment, so the row index is one (B,) vector add
-            base = state.day * rows_per_day
-            if use_onehot:
-                onehot = (state.day[:, None]
-                          == jnp.arange(n_days)[None, :]).astype(
-                              params.step_table.dtype)
-
-            def body(carry, inp):
-                st, obs = carry
-                key_t, t = inp
-                key_act, key_env = jax.random.split(key_t)
-                actions = policy(policy_params, obs, key_act)
-                if use_onehot:
-                    rows = jnp.matmul(
-                        onehot, table_tm[t],
-                        precision=jax.lax.Precision.HIGHEST)
-                else:
-                    rows = flat_table[base + t]       # (B, width) gather
-                st, ts = vrow(params, st, actions, rows)
-                return (st, ts.obs), (ts, key_env)
-
-            ts_idx = jnp.arange(t_in_ep, t_in_ep + seg, dtype=jnp.int32)
-            (state, obs), (traj, env_keys) = jax.lax.scan(
-                body, (state, obs), (seg_keys, ts_idx))
-
-            if t_in_ep + seg == L:
-                # episode boundary: splice in the autoreset state/obs with
-                # exactly core.autoreset_step's key derivation
-                days = self._autoreset_days(params, env_keys[-1], batch)
-                state, ts_reset = jax.vmap(
-                    self.reset_at_day, in_axes=(None, 0))(params, days)
-                obs = ts_reset.obs
-                traj = traj.replace(obs=jax.tree.map(
-                    lambda o, r: o.at[-1].set(r), traj.obs, obs))
-            parts.append(traj)
-            t0 += seg
-
-        if len(parts) == 1:
-            return parts[0]
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return _lockstep_ev_unroll(
+            params,
+            reset_fn=lambda k: self.reset(params, k),
+            reset_at_day_fn=lambda d: self.reset_at_day(params, d),
+            step_row_fn=lambda st, a, row: self._step_row(params, st, a, row),
+            day_of=lambda st: st.day,
+            policy=policy, policy_params=policy_params, key=key,
+            batch=batch, num_steps=num_steps)
 
     def fused_rollout(self, params: EVParams, key: jax.Array, batch: int,
                       num_steps: int, actions: jax.Array | None = None,
@@ -636,6 +659,161 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         if len(parts) == 1:
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+    def fused_layout(self, params: EVParams) -> dict:
+        """Static learner-block layout for :meth:`fused_policy_unroll`
+        consumers (parallel.ppo builds its permuted trunk1 view from
+        this)."""
+        from ...ops.pallas.ev_rollout import ev_fused_layout
+        return ev_fused_layout(params.n_stations)
+
+    def fused_policy_unroll_supported(self, params: EVParams, batch: int
+                                      ) -> bool:
+        """Static gate for :meth:`fused_policy_unroll` (parallel.ppo keys
+        off this): f32 params, dual-FISTA projection operator, 128-lane
+        batch, and a real TPU backend (the kernel has no interpret-mode
+        PRNG)."""
+        return (params.moer.dtype == jnp.float32
+                and not isinstance(params.proj, qp.SOCProjection)
+                and int(params.proj.C.shape[0]) <= 32
+                and batch % 128 == 0
+                and jax.devices()[0].platform == "tpu")
+
+    def fused_policy_unroll(self, params: EVParams, policy: dict,
+                            key: jax.Array, batch: int, num_steps: int,
+                            w: int = 1024, noise: jax.Array | None = None,
+                            interpret: bool = False) -> dict:
+        """Policy-in-kernel fused episode rollout for the PPO learner
+        (round-4 verdict item 1): the 2-layer tanh actor samples actions
+        INSIDE the Pallas episode kernel (ops/pallas/ev_rollout.py
+        policy-mode block), replacing the XLA lockstep rollout whose
+        per-step policy dispatch + obs flattening round-trip HBM. Matches
+        the learner-feeding role of the reference's RLLib rollout workers
+        (/root/reference/examples/evcharging/train_rllib.py:138-164).
+
+        ``policy`` is a parallel.ppo actor pytree (trunk1/trunk2/mu/
+        log_std); the kernel consumes bf16 copies of the weights and
+        applies the default Box(0,1) tanh squash, so only the default
+        act_transform/obs layout is supported (parallel.ppo gates on
+        that). ``num_steps`` must be a multiple of MAX_TIMESTEP (whole
+        episodes — the PPO episodic path always passes exactly one).
+
+        Returns a dict with ``obs_blk`` (T, B, 232) bf16 — the kernel's
+        learner block (obs rows 0:168 in the kernel layout + the
+        pre-squash Gaussian draws u in rows 168:232; see
+        :func:`...ops.pallas.ev_rollout.ev_fused_layout`), ``reward``/
+        ``done`` (T, B), info rows profit/carbon_cost/excess_charge, and
+        the per-episode ``days`` draws.
+
+        ``noise`` (T, B, 64) prescribes the normal draws (parity tests);
+        default draws Box–Muller normals from the on-core PRNG."""
+        L = MAX_TIMESTEP
+        if num_steps % L != 0:
+            raise ValueError(f"num_steps must be a multiple of {L}")
+        if params.moer.dtype != jnp.float32:
+            raise ValueError("fused_policy_unroll needs float32 params")
+        if isinstance(params.proj, qp.SOCProjection):
+            raise ValueError("fused_policy_unroll supports the dual-FISTA "
+                             "projection only")
+        w = min(w, max(128, (batch // 128) * 128))
+        if batch % w:
+            raise ValueError(f"batch {batch} not a multiple of lane "
+                             f"group {w}")
+        from ...ops.pallas.ev_rollout import (build_ev_operators,
+                                              fused_ev_policy_segment,
+                                              pack_policy_weights)
+
+        n = params.n_stations
+        nb = batch // w
+        _, ct_op, c_op, consts = build_ev_operators(params, w)
+        w1k, w2k, wmk, pb, pm = pack_policy_weights(policy, n)
+
+        # policy-mode wx table rows (see kernel layout): the moer obs
+        # channels ride along with the plug-event grids; built from the
+        # packed step_table + moer pack per call (a ~30MB concat — noise
+        # next to the rollout itself) and gathered per episode day
+        dep_t = params.step_table[:, :, :n]
+        est_t = params.step_table[:, :, n:2 * n]
+        req_t = params.step_table[:, :, 2 * n:3 * n]
+        moer_next0 = params.step_table[:, :, 3 * n:3 * n + 1]
+
+        def pad_to(x, rows):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, rows - x.shape[2])))
+
+        table = jnp.concatenate(
+            [pad_to(dep_t, 64), pad_to(req_t, 64), pad_to(est_t, 64),
+             params.moer, moer_next0,
+             jnp.zeros(moer_next0.shape[:2] + (10,), jnp.float32)],
+            axis=2)                                # (n_days, 289, 240)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        days = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, params.n_days))(init_keys)
+        keys = jax.random.split(key_scan, num_steps)
+
+        iters = int(params.proj.iters)
+        restart = bool(getattr(params.proj, "restart", True))
+
+        outs, lrns, day_list = [], [], []
+        t0 = 0
+        seg_idx = 0
+        while t0 < num_steps:
+            seg = L
+            wx = table[days][:, :seg]              # (B, seg, 240)
+            wx = jnp.transpose(wx.reshape(nb, w, seg, 240), (0, 2, 3, 1))
+            if noise is None:
+                nz = jnp.zeros((1, 1, 1, w), jnp.float32)
+                seed = jax.random.randint(
+                    jax.random.fold_in(key_scan, seg_idx), (),
+                    0, 2 ** 31 - 1)
+                use_rng = True
+            else:
+                nz = jnp.asarray(noise[t0:t0 + seg], jnp.float32)
+                nz = jnp.transpose(nz.reshape(seg, nb, w, 64), (1, 0, 3, 2))
+                seed = jnp.zeros((), jnp.int32)
+                use_rng = False
+            out, lrn = fused_ev_policy_segment(
+                ct_op, c_op, consts, w1k, w2k, wmk, pb, pm, wx, nz, seed,
+                seg, n, w, iters, bool(params.project_action), restart,
+                use_rng, interpret=interpret)
+            outs.append(out)
+            lrns.append(lrn)
+            day_list.append(days)
+            _, key_env = jax.random.split(keys[t0 + seg - 1])
+            days = self._autoreset_days(params, key_env, batch)
+            t0 += seg
+            seg_idx += 1
+
+        def field(out, i):
+            seg = out.shape[1]
+            return jnp.transpose(
+                out[:, :, i, :], (1, 0, 2)).reshape(seg, batch)
+
+        out = jnp.concatenate(outs, axis=1)
+        lrn = jnp.concatenate(lrns, axis=1)        # (nb, T, 232, w) bf16
+        # ZERO transposes on the learner block: it stays in the kernel's
+        # (block, feature-rows, lanes) layout — one block = all w lane
+        # envs of one (group, t) — and the PPO fused path shuffles,
+        # scores and updates directly in this layout (env index
+        # b = group * w + lane; time index t = block % T). An earlier
+        # (T, B, width) transpose of the 1.4GB block measured ~2x the
+        # kernel's own runtime.
+        width = lrn.shape[2]
+        obs_blk = lrn.reshape(nb * num_steps, width, w)
+
+        done = jnp.zeros((num_steps, batch), bool)
+        done = done.at[L - 1::L].set(True)
+        return {
+            "obs_blk_k": obs_blk,                  # (nb*T, width, w) bf16
+            "nb": nb, "w": w,
+            "reward": field(out, 0),
+            "done": done,
+            "profit": field(out, 1),
+            "carbon_cost": field(out, 2),
+            "excess_charge": field(out, 3),
+            "days": jnp.stack(day_list),           # (episodes, B)
+        }
 
     # ---- obs/info -------------------------------------------------------
     def _obs(self, params: EVParams, state: EVState) -> dict[str, jax.Array]:

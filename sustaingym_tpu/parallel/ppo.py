@@ -191,6 +191,10 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     if cfg.algo not in ("ppo", "a2c"):
         raise ValueError(f"unknown on-policy algo {cfg.algo!r}")
     vstep = autoreset_vstep(env)
+    # the fused policy-in-kernel rollout bakes in the default flat-obs
+    # layout and the default tanh Box squash — custom callbacks opt out
+    user_act_transform = act_transform is not None
+    user_obs_fn = obs_fn is not None
     # multi-agent views (env.agent_axis): obs are already flat float arrays
     # with an (n_agents, D) leading axis; the shared policy treats the agent
     # axis as extra batch and act_dim is PER AGENT (the reference trains one
@@ -330,9 +334,24 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     # (examples/evcharging/train_rllib.py:35-38: 288-step episodes).
     ep_len = (env.episode_steps(env_params)
               if hasattr(env, "episode_steps") else None)
+    # agent-axis (ma) views ride the fast path too when they provide a
+    # batch_unroll — the MA-EV view does (round-4 verdict item 2); the
+    # reconstruction below is shape-agnostic over the trailing agent axis
     episodic = (ep_len is not None and cfg.rollout_len == ep_len
                 and hasattr(env, "batch_unroll")
-                and not ma and not pap and not discrete)
+                and not pap and not discrete)
+    # policy-in-kernel tier (round-4 verdict item 1): when the env ships a
+    # Pallas rollout with the actor MLP inside (EVChargingEnv), whole
+    # episodes — obs assembly, sampling, projection, env step — run in one
+    # kernel and the learner re-scores (logp, value) from the returned
+    # (obs, u) in a single batched pass. Requires the default obs/action
+    # transforms (the kernel bakes them in) and bf16 obs storage (the
+    # kernel's learner block is bf16).
+    fused_episodic = (
+        episodic and not ma and cfg.obs_bf16
+        and not user_act_transform and not user_obs_fn
+        and getattr(env, "fused_policy_unroll_supported",
+                    lambda *_: False)(env_params, cfg.num_envs))
 
     def rollout_episodic(policy, key):
         def sampling_policy(p, obs_raw, k_act):
@@ -373,6 +392,79 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         last_value = jnp.zeros_like(value[0])
         return traj, last_value
 
+    # the fused path keeps the kernel's learner block in its NATIVE
+    # (block, feature-rows, lanes) layout end to end — one block = the w
+    # lane envs of one (group, t) — and scores it with a row-permuted
+    # trunk1 view: no flat-obs concat, no separate u array, and no
+    # layout transpose anywhere (a (T, B, width) transpose of the block
+    # measured ~2x the kernel's own runtime). Gradients flow through the
+    # (static) permutation back to the canonical checkpointed trunk1.
+    if fused_episodic:
+        _spec = env.fused_layout(env_params)
+        _row_map = np.asarray(_spec["w1_row_map"])
+        _row_valid = jnp.asarray((_row_map >= 0)[:, None])
+        _row_idx = np.where(_row_map >= 0, _row_map, 0)
+        _obs_cols, _u_lo = _spec["obs_cols"], _spec["u_lo"]
+        _LOG2PI = float(np.log(2.0 * np.pi))
+
+        def apply_fused_k(policy, blk):
+            """(mu, log_std, value, u) from (NBLK, width, w) blocks —
+            features on axis 1, lane envs on axis 2. bf16 operands, f32
+            accumulation (einsum preferred_element_type)."""
+            w1p = jnp.where(_row_valid, policy["trunk1"]["w"][_row_idx],
+                            0.0).astype(jnp.bfloat16)
+            obs = blk[:, :_obs_cols, :]
+            h = jnp.tanh(jnp.einsum(
+                "bfw,fh->bhw", obs, w1p,
+                preferred_element_type=jnp.float32)
+                + policy["trunk1"]["b"][None, :, None])
+            h = jnp.tanh(jnp.einsum(
+                "bfw,fh->bhw", h.astype(jnp.bfloat16),
+                policy["trunk2"]["w"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+                + policy["trunk2"]["b"][None, :, None])
+            w_heads = jnp.concatenate(
+                [policy["mu"]["w"], policy["value"]["w"]],
+                axis=1).astype(jnp.bfloat16)
+            b_heads = jnp.concatenate(
+                [policy["mu"]["b"], policy["value"]["b"]])
+            out = jnp.einsum(
+                "bfw,fh->bhw", h.astype(jnp.bfloat16), w_heads,
+                preferred_element_type=jnp.float32) + b_heads[None, :, None]
+            u = blk[:, _u_lo:_u_lo + act_dim, :].astype(jnp.float32)
+            return out[:, :-1, :], policy["log_std"], out[:, -1, :], u
+
+        def _logp_k(mu, log_std, u):
+            """Diag-Gaussian logp with the action dim on axis 1."""
+            ls = log_std[None, :, None]
+            terms = -0.5 * ((u - mu) ** 2 * jnp.exp(-2 * ls) + 2 * ls
+                            + _LOG2PI)
+            return jnp.sum(terms, axis=1)          # (NBLK, w)
+
+        def k_to_tb(x, nb, w):
+            """(nb*T, w) kernel-block order -> (T, B) env order."""
+            return jnp.swapaxes(
+                x.reshape(nb, cfg.rollout_len, w), 0, 1).reshape(
+                cfg.rollout_len, nb * w)
+
+        def tb_to_k(x, nb, w):
+            return jnp.swapaxes(
+                x.reshape(cfg.rollout_len, nb, w), 0, 1).reshape(
+                nb * cfg.rollout_len, w)
+
+    def rollout_fused_episodic(policy, key):
+        out = env.fused_policy_unroll(env_params, policy, key,
+                                      cfg.num_envs, cfg.rollout_len)
+        blk = out["obs_blk_k"]                 # (nb*T, width, w) bf16
+        nb, w = out["nb"], out["w"]
+        mu, log_std, value_k, u = apply_fused_k(policy, blk)
+        logp_k = _logp_k(mu, log_std, u)
+        traj = {"obs": blk, "logp_k": logp_k,
+                "nb": nb, "w": w,
+                "value": k_to_tb(value_k, nb, w),
+                "reward": out["reward"], "done": out["done"]}
+        return traj, jnp.zeros_like(traj["value"][0])
+
     def gae(traj, last_value):
         def body(carry, x):
             adv_next, v_next = carry
@@ -391,8 +483,13 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         return advs, advs + traj["value"]
 
     def loss_fn(policy, batch):
-        logp, value, dist_stats = score_action(policy, batch["obs"],
-                                               batch["u"])
+        if fused_episodic:
+            mu_, log_std_, value, u_ = apply_fused_k(policy, batch["obs"])
+            logp = _logp_k(mu_, log_std_, u_)
+            dist_stats = log_std_
+        else:
+            logp, value, dist_stats = score_action(policy, batch["obs"],
+                                                   batch["u"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         if cfg.algo == "a2c":
@@ -416,7 +513,12 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
     def train_step(carry, key):
         policy, opt_state = carry["policy"], carry["opt"]
         k_roll, k_perm = jax.random.split(key)
-        if episodic:
+        if fused_episodic:
+            # policy-in-kernel Pallas rollout (whole episodes; carry
+            # untouched like the episodic path)
+            env_states, obs = carry["env_states"], carry["obs"]
+            traj, last_value = rollout_fused_episodic(policy, k_roll)
+        elif episodic:
             # whole-episode rollout through the env's lockstep prefetcher;
             # env_states/obs stay in the carry untouched (each train step
             # rolls a fresh batch of full episodes)
@@ -427,7 +529,58 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 policy, carry["env_states"], carry["obs"], k_roll)
         advs, rets = gae(traj, last_value)
 
-        if pap:
+        if fused_episodic:
+            # kernel-native minibatching: a shuffle unit is one WHOLE
+            # block — the w lane envs of one (group, t) — gathered as a
+            # contiguous ~0.5MB slab (full HBM bandwidth; the generic
+            # path's per-sample rows measured the 4-epoch shuffle as
+            # costly as the entire grad loop). Envs are iid, so
+            # block-granular shuffling is statistically free as long as
+            # every minibatch draws many blocks (NB/minibatches here:
+            # 8192x288 at w=1024 -> 32 blocks/minibatch).
+            nb, w = traj["nb"], traj["w"]
+            blk = traj["obs"]                   # (NB, width, w) bf16
+            NB, width = int(blk.shape[0]), int(blk.shape[1])
+            pk = jnp.stack([traj["logp_k"], tb_to_k(advs, nb, w),
+                            tb_to_k(rets, nb, w)], axis=1)  # (NB, 3, w)
+            mb_blocks = NB // cfg.minibatches
+            if mb_blocks == 0:
+                raise ValueError(
+                    f"PPO fused minibatching needs at least "
+                    f"{cfg.minibatches} kernel blocks, got {NB}")
+            dropped = (NB - mb_blocks * cfg.minibatches) * w
+            if dropped:
+                import warnings
+                warnings.warn(
+                    f"PPO fused minibatching drops {dropped} samples per "
+                    f"epoch ({NB} blocks not divisible by "
+                    f"minibatches={cfg.minibatches})", stacklevel=2)
+
+            def epoch(carry, key_e):
+                policy, opt_state = carry
+
+                def minibatch(c, d):
+                    policy, opt_state = c
+                    o, p = d
+                    batch = {"obs": o, "logp": p[:, 0], "adv": p[:, 1],
+                             "ret": p[:, 2]}
+                    (_, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(policy, batch)
+                    updates, opt_state = opt.update(grads, opt_state,
+                                                    policy)
+                    policy = optax.apply_updates(policy, updates)
+                    return (policy, opt_state), metrics
+
+                perm = jax.random.permutation(key_e, NB)
+                sel = perm[:mb_blocks * cfg.minibatches]
+                blk_s = blk[sel].reshape(cfg.minibatches, mb_blocks,
+                                         width, w)
+                pk_s = pk[sel].reshape(cfg.minibatches, mb_blocks, 3, w)
+                (policy, opt_state), metrics = jax.lax.scan(
+                    minibatch, (policy, opt_state), (blk_s, pk_s))
+                return (policy, opt_state), metrics
+
+        elif pap:
             # per-agent policies: a sample is one (time, env) pair carrying
             # the full agent axis, so each minibatch row still routes every
             # agent's slice to its own stacked parameters
@@ -451,8 +604,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 "adv": advs.reshape(n),
                 "ret": rets.reshape(n),
             }
-            u_dtype = flat["u"].dtype
             obs_w = int(flat["obs"].shape[1])
+            u_dtype = flat["u"].dtype
             u_w = int(flat["u"].shape[1])
             F = obs_w + u_w + 3
             # pack every per-sample field into ONE (n, F) array so each
@@ -486,107 +639,104 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                      flat["logp"][:, None], advs.reshape(n, 1),
                      rets.reshape(n, 1)], axis=1)
 
-        if fields is None:
-            # per-agent path: rows are (n_agents, ...) slabs, wide enough
-            # that the plain row gather is not the bottleneck
-            mb = n // cfg.minibatches
-            dropped = n - mb * cfg.minibatches
-        else:
-            # shuffle BLOCKS of G adjacent samples. Flat order is
-            # (time, env): G adjacent rows are G INDEPENDENT envs at the
-            # same timestep, so block shuffling costs nothing statistically
-            # — blocks land in random minibatches, and their members are
-            # iid envs. Gather cost on TPU is dominated by the per-index
-            # overhead (~10 ns/row: a 262144-row shuffle of 1 KB rows ran
-            # at 125 GB/s), so larger contiguous blocks are strictly
-            # cheaper until minibatch granularity suffers. Round-4 sweep:
-            # wide rows (EV F=260) 128->2048-float target = 5.8 -> 6.8M
-            # env-steps/s; narrow rows (building F=22) best at 512
-            # (14.5M vs 13.9M at 128). The round-3 'G=2 slower on EV' note
-            # predates the gated autoreset + one-shot key split and no
-            # longer reproduces.
-            G = 1
-            target = 2048 if F >= 128 else 512
-            # bound block growth by the minibatch count: growing G past
-            # n // minibatches blocks would leave mb_blocks == 0 and drop
-            # EVERY sample each epoch (seen with tiny debug configs, e.g.
-            # num_envs=4 x rollout_len=4 with minibatches=8)
-            while (G * F < target and n % (2 * G) == 0
-                   and n // (2 * G) >= cfg.minibatches):
-                G *= 2
-            n_blocks = n // G
-            rest_F = int(packed.shape[1])
-            blocks = packed.reshape(n_blocks, G * rest_F)
-            blocks_obs = (packed_obs.reshape(n_blocks, G * obs_w)
-                          if packed_obs is not None else None)
-            mb_blocks = n_blocks // cfg.minibatches
-            mb = mb_blocks * G
-            dropped = n - mb * cfg.minibatches
-        if dropped == n:
-            raise ValueError(
-                f"PPO minibatching would drop ALL {n} samples per epoch: "
-                f"rollout_len*num_envs[*n_agents]={n} yields fewer than "
-                f"minibatches={cfg.minibatches} rows. Lower minibatches or "
-                f"raise num_envs/rollout_len.")
-        if dropped:
-            # n is static at trace time, so this warns once per compile (the
-            # SURVEY "no silent caps" rule): with agent-axis envs n is rarely
-            # a multiple of minibatches and the remainder never trains
-            import warnings
-            warnings.warn(
-                f"PPO minibatching drops {dropped}/{n} samples per epoch "
-                f"(rollout_len*num_envs[*n_agents]={n} not divisible by "
-                f"minibatches={cfg.minibatches})", stacklevel=2)
-
-        def unpack(mbarr):
-            out = {}
-            off = 0
-            for name, width in fields:
-                col = mbarr[:, off:off + width]
-                off += width
-                out[name] = col
-            out["u"] = out["u"].astype(u_dtype)
-            out["logp"] = out["logp"][:, 0]
-            out["adv"] = out["adv"][:, 0]
-            out["ret"] = out["ret"][:, 0]
-            return out
-
-        def epoch(carry, key_e):
-            policy, opt_state = carry
-
-            def minibatch(carry, batch):
-                policy, opt_state = carry
-                (_, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(policy, batch)
-                updates, opt_state = opt.update(grads, opt_state, policy)
-                policy = optax.apply_updates(policy, updates)
-                return (policy, opt_state), metrics
-
+        if not fused_episodic:
             if fields is None:
-                perm = jax.random.permutation(key_e, n)
-                idxs = perm[:mb * cfg.minibatches].reshape(
-                    cfg.minibatches, mb)
-                (policy, opt_state), metrics = jax.lax.scan(
-                    lambda c, idx: minibatch(
-                        c, jax.tree.map(lambda x: x[idx], flat)),
-                    (policy, opt_state), idxs)
+                # per-agent path: rows are (n_agents, ...) slabs, wide enough
+                # that the plain row gather is not the bottleneck
+                mb = n // cfg.minibatches
+                dropped = n - mb * cfg.minibatches
             else:
-                perm = jax.random.permutation(key_e, n_blocks)
-                sel = perm[:mb_blocks * cfg.minibatches]
-                shuffled = blocks[sel]
-                mbs = shuffled.reshape(cfg.minibatches, mb, rest_F)
-                if blocks_obs is not None:
-                    obs_mbs = blocks_obs[sel].reshape(
-                        cfg.minibatches, mb, obs_w)
+                # shuffle BLOCKS of G adjacent samples. Flat order is
+                # (time, env): G adjacent rows are G INDEPENDENT envs at the
+                # same timestep, so block shuffling costs nothing statistically
+                # — blocks land in random minibatches, and their members are
+                # iid envs. Gather cost on TPU is dominated by the per-index
+                # overhead, so larger contiguous blocks are strictly cheaper
+                # until minibatch granularity suffers. Round-5 decomposition:
+                # at the old ~2KB blocks the 4-epoch shuffle cost as much as
+                # the ENTIRE minibatch grad loop (97ms vs 92ms, EV 8192x288);
+                # ~128KB blocks gather at full HBM bandwidth. Each minibatch
+                # must still draw >= 16 blocks so epoch composition remixes
+                # (a minibatch == one block would make the 72 minibatch SETS
+                # fixed across epochs, only reordered).
+                row_bytes = obs_w * 2 + (u_w + 3) * 4 if cfg.obs_bf16 else F * 4
+                G = 1
+                while (G * row_bytes < 131072 and n % (2 * G) == 0
+                       and n // (2 * G) >= 16 * cfg.minibatches):
+                    G *= 2
+                n_blocks = n // G
+                rest_F = int(packed.shape[1])
+                blocks = packed.reshape(n_blocks, G * rest_F)
+                blocks_obs = (packed_obs.reshape(n_blocks, G * obs_w)
+                              if packed_obs is not None else None)
+                mb_blocks = n_blocks // cfg.minibatches
+                mb = mb_blocks * G
+                dropped = n - mb * cfg.minibatches
+            if dropped == n:
+                raise ValueError(
+                    f"PPO minibatching would drop ALL {n} samples per epoch: "
+                    f"rollout_len*num_envs[*n_agents]={n} yields fewer than "
+                    f"minibatches={cfg.minibatches} rows. Lower minibatches or "
+                    f"raise num_envs/rollout_len.")
+            if dropped:
+                # n is static at trace time, so this warns once per compile (the
+                # SURVEY "no silent caps" rule): with agent-axis envs n is rarely
+                # a multiple of minibatches and the remainder never trains
+                import warnings
+                warnings.warn(
+                    f"PPO minibatching drops {dropped}/{n} samples per epoch "
+                    f"(rollout_len*num_envs[*n_agents]={n} not divisible by "
+                    f"minibatches={cfg.minibatches})", stacklevel=2)
+
+            def unpack(mbarr):
+                out = {}
+                off = 0
+                for name, width in fields:
+                    col = mbarr[:, off:off + width]
+                    off += width
+                    out[name] = col
+                out["u"] = out["u"].astype(u_dtype)
+                out["logp"] = out["logp"][:, 0]
+                out["adv"] = out["adv"][:, 0]
+                out["ret"] = out["ret"][:, 0]
+                return out
+
+            def epoch(carry, key_e):
+                policy, opt_state = carry
+
+                def minibatch(carry, batch):
+                    policy, opt_state = carry
+                    (_, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(policy, batch)
+                    updates, opt_state = opt.update(grads, opt_state, policy)
+                    policy = optax.apply_updates(policy, updates)
+                    return (policy, opt_state), metrics
+
+                if fields is None:
+                    perm = jax.random.permutation(key_e, n)
+                    idxs = perm[:mb * cfg.minibatches].reshape(
+                        cfg.minibatches, mb)
                     (policy, opt_state), metrics = jax.lax.scan(
-                        lambda c, arrs: minibatch(
-                            c, {**unpack(arrs[0]), "obs": arrs[1]}),
-                        (policy, opt_state), (mbs, obs_mbs))
+                        lambda c, idx: minibatch(
+                            c, jax.tree.map(lambda x: x[idx], flat)),
+                        (policy, opt_state), idxs)
                 else:
-                    (policy, opt_state), metrics = jax.lax.scan(
-                        lambda c, arr: minibatch(c, unpack(arr)),
-                        (policy, opt_state), mbs)
-            return (policy, opt_state), metrics
+                    perm = jax.random.permutation(key_e, n_blocks)
+                    sel = perm[:mb_blocks * cfg.minibatches]
+                    shuffled = blocks[sel]
+                    mbs = shuffled.reshape(cfg.minibatches, mb, rest_F)
+                    if blocks_obs is not None:
+                        obs_mbs = blocks_obs[sel].reshape(
+                            cfg.minibatches, mb, obs_w)
+                        (policy, opt_state), metrics = jax.lax.scan(
+                            lambda c, arrs: minibatch(
+                                c, {**unpack(arrs[0]), "obs": arrs[1]}),
+                            (policy, opt_state), (mbs, obs_mbs))
+                    else:
+                        (policy, opt_state), metrics = jax.lax.scan(
+                            lambda c, arr: minibatch(c, unpack(arr)),
+                            (policy, opt_state), mbs)
+                return (policy, opt_state), metrics
 
         (policy, opt_state), metrics = jax.lax.scan(
             epoch, (policy, opt_state), jax.random.split(k_perm, cfg.epochs))
@@ -612,6 +762,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         return act_transform(mu)
 
     train_step.episodic = episodic  # introspection (tests/bench labeling)
+    train_step.fused_rollout = fused_episodic
     train_step.actor_fn = actor_fn       # deterministic eval policy
     train_step.actor_key = "policy"      # carry subtree holding its params
     return init_state, train_step

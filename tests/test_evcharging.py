@@ -665,3 +665,133 @@ def test_batch_unroll_matches_generic(env_and_params):
         np.testing.assert_allclose(np.asarray(fast.info[k]),
                                    np.asarray(slow.info[k]),
                                    rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize("site", ["caltech", "jpl"])
+def test_gmm_trace_pack_end_to_end_vs_reference(site):
+    """END-TO-END GMM episode contract (round-4 verdict item 6): day ``d``
+    of ``build_gmm_trace_pack(seed=s)`` equals the session set the ACTUAL
+    reference ``GMMsTraceGenerator._create_events`` produces after
+    ``set_seed(s + d)`` (the documented seed mapping, data/ev_gmm.py:
+    build_gmm_trace_pack vs reference event_generation.py:411-515).
+    Unlike test_gmm_sampler_bit_exact_vs_sklearn (which re-implements the
+    reference algorithm inline), this runs the reference METHODS verbatim —
+    the class is instantiated via ``__new__`` with only the attributes
+    ``set_seed``/``_create_events`` touch, because the full constructor
+    needs acnportal (absent; import satisfied by tests/_shims/acnportal)."""
+    from .conftest import add_reference_to_path
+
+    if not add_reference_to_path():
+        pytest.skip("reference tree not available")
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841 (unpickle)
+    pickle_path = os.path.join(
+        f"/root/reference/sustaingym/data/evcharging/gmms/{site}",
+        "2021-05-01 2021-08-31 30.pkl")
+    if not os.path.exists(pickle_path):
+        pytest.skip("reference GMM pickle not available")
+    import importlib
+    import pickle
+    import sys
+    import types
+    import warnings
+
+    # the reference subpackage __init__ is broken in this snapshot (imports
+    # the non-existent .discrete_action_wrapper, and .env needs cvxpy) —
+    # register the package node WITHOUT executing its __init__ so the
+    # event_generation submodule (pure numpy/pandas/sklearn) loads verbatim
+    pkg_name = "sustaingym.envs.evcharging"
+    importlib.import_module("sustaingym.envs")
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = ["/root/reference/sustaingym/envs/evcharging"]
+        sys.modules[pkg_name] = pkg
+    ref_eg = importlib.import_module(
+        "sustaingym.envs.evcharging.event_generation")
+
+    from sustaingym_tpu.data.ev_etl import MAX_EVS
+    from sustaingym_tpu.data.ev_gmm import build_gmm_trace_pack
+    from sustaingym_tpu.envs.evcharging.sites import load_site
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with open(pickle_path, "rb") as f:
+            ref_data = pickle.load(f)
+
+    spec = load_site(site)
+    gen = ref_eg.GMMsTraceGenerator.__new__(ref_eg.GMMsTraceGenerator)
+    gen.gmm = ref_data["gmm"]
+    gen.cnt = np.asarray(ref_data["count"])
+    gen.station_usage = np.asarray(ref_data["station_usage"],
+                                   dtype=np.float64)
+    # identity index mapping: _create_events maps chosen station index ->
+    # station_ids[idx]; using the repo spec's ordering makes idx comparable
+    # to the pack's ev_station directly (the usage vector's index space is
+    # shared by construction — both sides loaded it from the same pickle)
+    gen.station_ids = list(spec.station_ids)
+    gen.requested_energy_cap = 100.0
+
+    seed, n_days = 0, 4
+    pack = build_gmm_trace_pack(site, "Summer 2021", n_days=n_days,
+                                n_components=30, seed=seed, cache=False)
+    sid_to_idx = {s: i for i, s in enumerate(spec.station_ids)}
+
+    for day in range(n_days):
+        gen.set_seed(seed + day)          # reference seed mapping
+        events = gen._create_events()     # the real reference method
+        ref_rows = np.array(
+            [[float(r["arrival"]), float(r["departure"]),
+              float(r["estimated_departure"]),
+              float(r["requested_energy (kWh)"]),
+              float(sid_to_idx[r["station_id"]])]
+             for _, r in events.iterrows()])
+        if len(ref_rows) == 0:
+            assert not pack["ev_mask"][day].any()
+            continue
+        assert len(ref_rows) <= MAX_EVS   # no silent truncation in play
+        k = int(pack["ev_mask"][day].sum())
+        mine = np.concatenate(
+            [pack["ev_data"][day, :k].astype(np.float64),
+             pack["ev_station"][day, :k, None].astype(np.float64)], axis=1)
+        # (arrival, station) is unique — assignment only grants a station
+        # whose last departure precedes the arrival — so this sort order
+        # aligns the two row sets deterministically
+        def _sorted(rows):
+            return rows[np.lexsort((rows[:, 4], rows[:, 0]))]
+        mine_s, ref_s = _sorted(mine), _sorted(ref_rows)
+        # integer columns (arrival/departure/est-departure/station): exact
+        np.testing.assert_array_equal(mine_s[:, [0, 1, 2, 4]],
+                                      ref_s[:, [0, 1, 2, 4]])
+        # requested energy: the pack stores float32 (ev_etl layout); the
+        # value must be EXACTLY the f32 cast of the reference's float64 —
+        # any looser tolerance would hide a real sampling drift
+        np.testing.assert_array_equal(
+            mine_s[:, 3].astype(np.float32),
+            ref_s[:, 3].astype(np.float32))
+
+
+@pytest.mark.parametrize("periods_delay", [0, 2])
+def test_ma_batch_unroll_matches_generic(periods_delay):
+    """MA-EV view lockstep fast path == the generic autoreset scan on the
+    same PRNG stream (round-4 verdict item 2), across an episode boundary,
+    with the staleness ring exercised (periods_delay=2)."""
+    from sustaingym_tpu import make
+
+    env, params = make("evcharging-multiagent", periods_delay=periods_delay,
+                       project_action=False)
+    batch = 3
+    steps = MAX_TIMESTEP + 4
+    policy = random_policy(env, params, batch)
+    key = jax.random.PRNGKey(7)
+    slow = batch_rollout(env, params, policy, None, key, batch, steps,
+                         fast=False)
+    fast = env.batch_unroll(params, policy, None, key, batch, steps)
+    np.testing.assert_allclose(np.asarray(fast.reward),
+                               np.asarray(slow.reward), rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fast.terminated),
+                                  np.asarray(slow.terminated))
+    np.testing.assert_allclose(np.asarray(fast.obs), np.asarray(slow.obs),
+                               rtol=2e-5, atol=1e-6)
+    for k in slow.info:
+        np.testing.assert_allclose(np.asarray(fast.info[k]),
+                                   np.asarray(slow.info[k]),
+                                   rtol=2e-5, atol=1e-6)

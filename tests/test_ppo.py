@@ -386,3 +386,24 @@ def test_obs_bf16_generic_path_consistent_and_learns():
     first = np.mean([h["mean_reward"] for h in history[:3]])
     last = np.mean([h["mean_reward"] for h in history[-3:]])
     assert last > first + 0.2, (first, last)
+
+
+def test_ma_ev_episodic_fast_path_reconstruction_exact():
+    """The agent-axis MA-EV view rides the episodic fast path (round-4
+    verdict item 2): rollout_len == 288 routes through the view's
+    batch_unroll, and the reconstructed (u, logp, value) must be exact —
+    with lr=0 every PPO ratio is exactly 1 so pg_loss == 0 (same invariant
+    as test_episodic_fast_path_reconstruction_exact, now with the agent
+    axis + staleness ring in the loop)."""
+    env, params = make("evcharging-multiagent", periods_delay=1,
+                       project_action=False)
+    L = env.episode_steps(params)
+    cfg = PPOConfig(num_envs=2, rollout_len=L, lr=0.0, epochs=1,
+                    minibatches=2, hidden=32, obs_bf16=True)
+    init_state, train_step = make_train_step(env, params, cfg)
+    assert train_step.episodic
+    carry = init_state(jax.random.PRNGKey(0))
+    carry, metrics = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
+    assert abs(float(metrics["pg_loss"])) < 1e-5, metrics
+    assert np.isfinite(float(metrics["vf_loss"]))
+    assert float(metrics["episode_done_frac"]) == pytest.approx(1.0 / L)
