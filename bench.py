@@ -494,8 +494,10 @@ def main() -> None:
             num_envs=8192, rollout_len=288, minibatches=72,
             algo="ppo"))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(algo="sac"))), flush=True)
+        # minibatches=96 is the round-5 sweet spot for the policy-in-kernel
+        # fused path (20.3M vs 19.7M at 72; 16k-row minibatches)
         print(json.dumps(_stamp_expected(bench_train(
-            "evcharging", num_envs=8192, rollout_len=288, minibatches=72,
+            "evcharging", num_envs=8192, rollout_len=288, minibatches=96,
             obs_bf16=True, algo="ppo", project_action=True))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(
             "cogen", num_envs=8192, rollout_len=96, minibatches=24,

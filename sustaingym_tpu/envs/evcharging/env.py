@@ -677,7 +677,11 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
                 and not isinstance(params.proj, qp.SOCProjection)
                 and int(params.proj.C.shape[0]) <= 32
                 and batch % 128 == 0
-                and jax.devices()[0].platform == "tpu")
+                and jax.devices()[0].platform == "tpu"
+                # multi-device meshes would need the pallas_call wrapped
+                # in shard_map (untestable on this 1-chip host): the
+                # learner falls back to the XLA episodic path there
+                and jax.device_count() == 1)
 
     def fused_policy_unroll(self, params: EVParams, policy: dict,
                             key: jax.Array, batch: int, num_steps: int,
@@ -728,10 +732,11 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         _, ct_op, c_op, consts = build_ev_operators(params, w)
         w1k, w2k, wmk, pb, pm = pack_policy_weights(policy, n)
 
-        # policy-mode wx table rows (see kernel layout): the moer obs
-        # channels ride along with the plug-event grids; built from the
-        # packed step_table + moer pack per call (a ~30MB concat — noise
-        # next to the rollout itself) and gathered per episode day
+        # policy-mode day-table SLAB (see kernel layout): rows x day axis,
+        # consumed in-kernel via a per-step onehot matmul — no per-env
+        # (B, T, 240) gather/transpose ever materializes. Built from the
+        # packed step_table + moer pack per call (a ~35MB transform, noise
+        # next to the rollout itself).
         dep_t = params.step_table[:, :, :n]
         est_t = params.step_table[:, :, n:2 * n]
         req_t = params.step_table[:, :, 2 * n:3 * n]
@@ -745,6 +750,11 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
              params.moer, moer_next0,
              jnp.zeros(moer_next0.shape[:2] + (10,), jnp.float32)],
             axis=2)                                # (n_days, 289, 240)
+        D = params.n_days
+        Dp = -(-D // 128) * 128
+        slab = jnp.zeros((MAX_TIMESTEP, 240, Dp), jnp.float32)
+        slab = slab.at[:, :, :D].set(
+            jnp.transpose(table[:, :MAX_TIMESTEP], (1, 2, 0)))
 
         key_init, key_scan = jax.random.split(key)
         init_keys = jax.random.split(key_init, batch)
@@ -760,8 +770,10 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         seg_idx = 0
         while t0 < num_steps:
             seg = L
-            wx = table[days][:, :seg]              # (B, seg, 240)
-            wx = jnp.transpose(wx.reshape(nb, w, seg, 240), (0, 2, 3, 1))
+            onehot = (days[:, None] == jnp.arange(Dp)[None, :]).astype(
+                jnp.float32)                       # (B, Dp)
+            onehot = jnp.transpose(
+                onehot.reshape(nb, w, Dp), (0, 2, 1))  # (nb, Dp, w)
             if noise is None:
                 nz = jnp.zeros((1, 1, 1, w), jnp.float32)
                 seed = jax.random.randint(
@@ -774,9 +786,9 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
                 seed = jnp.zeros((), jnp.int32)
                 use_rng = False
             out, lrn = fused_ev_policy_segment(
-                ct_op, c_op, consts, w1k, w2k, wmk, pb, pm, wx, nz, seed,
-                seg, n, w, iters, bool(params.project_action), restart,
-                use_rng, interpret=interpret)
+                ct_op, c_op, consts, w1k, w2k, wmk, pb, pm, slab, onehot,
+                nz, seed, seg, n, w, iters, bool(params.project_action),
+                restart, use_rng, interpret=interpret)
             outs.append(out)
             lrns.append(lrn)
             day_list.append(days)

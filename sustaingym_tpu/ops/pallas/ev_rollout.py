@@ -502,10 +502,10 @@ def _normal_bits(shape):
 
 
 def _policy_kernel(seed_ref, ct_ref, c_ref, const_ref, w1_ref, w2_ref,
-                   wm_ref, pb_ref, pm_ref, wx_ref, noise_ref, out_ref,
-                   lrn_ref, plugged, dep, est, demand, *, chunk: int,
-                   n_chunks: int, n: int, w: int, iters: int, project: bool,
-                   restart: bool, use_rng: bool):
+                   wm_ref, pb_ref, pm_ref, slab_ref, oh_ref, noise_ref,
+                   out_ref, lrn_ref, plugged, dep, est, demand, *,
+                   chunk: int, n_chunks: int, n: int, w: int, iters: int,
+                   project: bool, restart: bool, use_rng: bool):
     j = pl.program_id(1)
     if use_rng:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * n_chunks + j)
@@ -561,7 +561,16 @@ def _policy_kernel(seed_ref, ct_ref, c_ref, const_ref, w1_ref, w2_ref,
         return jnp.clip(a - ydot, 0.0, ub)
 
     def body(t, _):
-        wrow = wx_ref[0, 0, t]                    # (240, W)
+        # in-kernel day select: ONE onehot matmul replaces the host-side
+        # per-env (B, T, 240) table gather + transpose (2.3GB materialized
+        # + layout-shuffled per rollout at 8192x288 — measured ~2/3 of the
+        # kernel's own runtime in surrounding fusions). Each output
+        # element is a single 1.0 * v product; HIGHEST precision keeps the
+        # f32 values exact (integer-valued rows) / <=1 ulp (full-mantissa
+        # rows) instead of bf16-truncating them
+        wrow = jnp.dot(slab_ref[0, t], oh_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (240, W)
         plug_dep = wrow[0:64]
         plug_req = wrow[64:128]
         plug_est = wrow[128:192]
@@ -655,19 +664,27 @@ def _policy_kernel(seed_ref, ct_ref, c_ref, const_ref, w1_ref, w2_ref,
     jax.jit, static_argnames=("steps", "n", "w", "iters", "project",
                               "restart", "use_rng", "interpret"))
 def fused_ev_policy_segment(ct_op, c_op, consts, w1k, w2k, wmk, pb, pm,
-                            wx, noise, seed, steps: int, n: int, w: int,
-                            iters: int, project: bool, restart: bool,
-                            use_rng: bool, interpret: bool = False):
+                            slab, onehot, noise, seed, steps: int, n: int,
+                            w: int, iters: int, project: bool,
+                            restart: bool, use_rng: bool,
+                            interpret: bool = False):
     """One lockstep episode segment with the actor in-kernel. Returns
-    (rewards (nb, steps, 8, w) f32, learner block (nb, steps, 192, w)
-    bf16). See the policy-mode layout block above."""
-    nb = wx.shape[0]
-    # double-buffered per-step streaming bytes: wx f32 + learner bf16 + out
-    per_step = (_WXP_ROWS * 4 + _LRN_ROWS * 2 + _OUT_ROWS * 4) * w
-    chunk_max = max(1, min(36, (81 * 1024 * 1024) // (per_step * 2)))
+    (rewards (nb, steps, 8, w) f32, learner block (nb, steps, 232, w)
+    bf16). ``slab`` is the (steps, 240, Dp) day table (policy-mode wx
+    rows, day axis last, padded to a 128 multiple); ``onehot`` is
+    (nb, Dp, w) selecting each lane env's episode day — the kernel
+    gathers day rows with one MXU matmul per step instead of streaming
+    per-env tables (which materialized + transposed 2.3GB per rollout at
+    8192x288). See the policy-mode layout block above."""
+    nb = onehot.shape[0]
+    Dp = slab.shape[2]
+    # double-buffered per-step streaming bytes: slab f32 + learner bf16
+    # out + reward rows
+    per_step = Dp * _WXP_ROWS * 4 + (_LRN_ROWS * 2 + _OUT_ROWS * 4) * w
+    chunk_max = max(1, min(48, (81 * 1024 * 1024) // (per_step * 2)))
     chunk = max(d for d in range(1, chunk_max + 1) if steps % d == 0)
     n_chunks = steps // chunk
-    wx = wx.reshape(nb, n_chunks, chunk, _WXP_ROWS, w)
+    slab = slab.reshape(n_chunks, chunk, _WXP_ROWS, Dp)
     if use_rng:
         noise_spec = pl.BlockSpec((1, 1, 1, 1, w),
                                   lambda i, j: (0, 0, 0, 0, 0),
@@ -702,8 +719,10 @@ def fused_ev_policy_segment(ct_op, c_op, consts, w1k, w2k, wmk, pb, pm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, _WXP_ROWS, w),
-                         lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, chunk, _WXP_ROWS, Dp),
+                         lambda i, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             noise_spec,
         ],
@@ -735,6 +754,6 @@ def fused_ev_policy_segment(ct_op, c_op, consts, w1k, w2k, wmk, pb, pm,
                 _WXP_ROWS * 4 + _OUT_ROWS * 4 + _LRN_ROWS * 2)),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), ct_op, c_op, consts,
-      w1k, w2k, wmk, pb, pm, wx, noise)
+      w1k, w2k, wmk, pb, pm, slab, onehot, noise)
     return (out.reshape(nb, steps, _OUT_ROWS, w),
             lrn.reshape(nb, steps, _LRN_ROWS, w))

@@ -263,3 +263,108 @@ def test_fused_ev_chunking_handles_non_divisor_steps():
                               interpret=True)
     assert fused.reward.shape == (steps, batch)
     assert np.isfinite(np.asarray(fused.reward)).all()
+
+
+def test_fused_policy_kernel_matches_xla_reference():
+    """Policy-in-kernel EV rollout (interpret mode, prescribed noise,
+    projection off) == an op-mirrored XLA reference: obs assembly, the
+    bf16 actor MLP, Gaussian sampling, tanh squash, env stepping, and the
+    learner-block layout (est/dem/aux/u rows). The actor math is mirrored
+    (same bf16 cast points, f32 accumulation), so everything must agree
+    except rare pilot-quantization boundary flips from float-reassociation
+    drift — asserted via a 99.9th-percentile bound plus a mean bound."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu.envs import evcharging
+    from sustaingym_tpu.ops.pallas.ev_rollout import ev_fused_layout
+
+    env, params = evcharging.make_env(site="caltech",
+                                      date_period="Summer 2021",
+                                      project_action=False)
+    n = params.n_stations
+    batch, T, H = 128, 288, 64
+    key = jax.random.PRNGKey(11)
+    rng = np.random.default_rng(3)
+    noise = jnp.asarray(rng.standard_normal((T, batch, 64)), jnp.float32)
+    policy = {
+        "trunk1": {"w": jnp.asarray(rng.normal(0, 0.3, (146, H)),
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)},
+        "trunk2": {"w": jnp.asarray(rng.normal(0, 0.3, (H, H)),
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)},
+        "mu": {"w": jnp.asarray(rng.normal(0, 0.3, (H, n)), jnp.float32),
+               "b": jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)},
+        "log_std": jnp.full((n,), -0.5, jnp.float32),
+    }
+    out = env.fused_policy_unroll(params, policy, key, batch, T,
+                                  w=128, noise=noise, interpret=True)
+    spec = ev_fused_layout(n)
+    blk = np.asarray(out["obs_blk_k"], np.float32)   # (T, 232, 128)
+
+    # ---- XLA reference, op-mirrored -------------------------------------
+    key_init, _ = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    days = jax.vmap(lambda k: jax.random.randint(
+        k, (), 0, params.n_days))(init_keys)
+    state, ts = jax.vmap(env.reset_at_day, in_axes=(None, 0))(params, days)
+    bf = jnp.bfloat16
+
+    def actor(obs_flat):
+        ob = obs_flat.astype(bf)
+        h = jnp.tanh(jnp.matmul(ob, policy["trunk1"]["w"].astype(bf),
+                                preferred_element_type=jnp.float32)
+                     + policy["trunk1"]["b"])
+        h = jnp.tanh(jnp.matmul(h.astype(bf), policy["trunk2"]["w"].astype(bf),
+                                preferred_element_type=jnp.float32)
+                     + policy["trunk2"]["b"])
+        return (jnp.matmul(h.astype(bf), policy["mu"]["w"].astype(bf),
+                           preferred_element_type=jnp.float32)
+                + policy["mu"]["b"])
+
+    vstep = jax.jit(jax.vmap(env.step, in_axes=(None, 0, 0, None)))
+    sigma = float(np.exp(-0.5))
+    rewards, est_ref, dem_ref, u_ref = [], [], [], []
+    obs = ts.obs
+    for t in range(T):
+        flat = jnp.concatenate(
+            [obs["timestep"], obs["est_departures"], obs["demands"],
+             obs["prev_moer"], obs["forecasted_moer"]], axis=1)
+        mu = actor(flat)
+        u = mu + sigma * noise[t, :, :n]
+        a = jnp.tanh(u) * 0.5 + 0.5
+        est_ref.append(np.asarray(obs["est_departures"], np.float32))
+        dem_ref.append(np.asarray(obs["demands"], np.float32))
+        u_ref.append(np.asarray(u, np.float32))
+        state, ts2 = vstep(params, state, a, jax.random.PRNGKey(0))
+        rewards.append(np.asarray(ts2.reward))
+        obs = ts2.obs
+
+    # learner block rows: est [0:n], dem [64:64+n], aux [128:168],
+    # u [168:168+n] — all bf16-stored, lanes = envs
+    def kr(lo, k):
+        return np.swapaxes(blk[:, lo:lo + k, :], 1, 2)   # (T, B, k)
+
+    est_k, dem_k, u_k = kr(0, n), kr(64, n), kr(spec["u_lo"], n)
+    to_bf = lambda x: np.asarray(jnp.asarray(x).astype(bf), np.float32)
+    # est_departures are action-independent (trace-driven): exact
+    np.testing.assert_array_equal(est_k, to_bf(np.stack(est_ref)))
+    # demands/u/rewards: ~1e-6 matmul-reassociation drift occasionally
+    # flips a pilot-quantization rounding, after which THAT env's charge
+    # trajectory diverges — bound the affected fraction, not the max
+    dd = np.abs(dem_k - to_bf(np.stack(dem_ref)))
+    assert np.mean(dd > 1e-3) < 0.01, np.mean(dd > 1e-3)
+    du = np.abs(u_k - np.stack(u_ref))
+    assert np.quantile(du, 0.99) < 0.02, np.quantile(du, 0.99)
+    dr = np.abs(np.asarray(out["reward"]) - np.stack(rewards))
+    assert np.quantile(dr, 0.99) < 1e-4, np.quantile(dr, 0.99)
+    assert dr.mean() < 1e-4, dr.mean()
+    # aux rows: timestep + moer channels of the day
+    tstep_k = kr(128, 1)[..., 0]
+    expect_t = np.broadcast_to((np.arange(T) / 288.0)[:, None], (T, batch))
+    np.testing.assert_allclose(tstep_k, to_bf(expect_t), atol=0, rtol=0)
+    moer_k = kr(129, 1)[..., 0]
+    moer_expect = np.asarray(params.moer)[np.asarray(days)][:, :T, 0].T
+    np.testing.assert_array_equal(moer_k, to_bf(moer_expect))
