@@ -164,6 +164,7 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
                 rollout_len: int = 64, iters: int = 5,
                 algo: str = "ppo", metric_name: str | None = None,
                 minibatches: int | None = None, obs_bf16: bool = False,
+                capacity: int | None = None,
                 **make_kwargs) -> dict:
     """Fused train-step throughput (rollout + update as ONE program) — the
     learner-side counterpart of the env rollouts. ``algo``: 'ppo' (rollout
@@ -183,14 +184,18 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
                                          make_train_step)
 
     env, params = make(env_name, **make_kwargs)
+    # off-policy ring capacity (slots per env): wide-obs agent-axis envs
+    # (MA-EV DQN stores (cap, B, 54, 146) obs + next_obs) need a smaller
+    # ring to fit HBM
+    cap = {} if capacity is None else {"capacity": capacity}
     if algo == "sac":
-        cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len)
+        cfg = SACConfig(num_envs=num_envs, rollout_len=rollout_len, **cap)
         init_state, train_step = make_sac_train_step(env, params, cfg)
     elif algo == "dqn":
-        cfg = DQNConfig(num_envs=num_envs, rollout_len=rollout_len)
+        cfg = DQNConfig(num_envs=num_envs, rollout_len=rollout_len, **cap)
         init_state, train_step = make_dqn_train_step(env, params, cfg)
     elif algo == "ddpg":
-        cfg = DDPGConfig(num_envs=num_envs, rollout_len=rollout_len)
+        cfg = DDPGConfig(num_envs=num_envs, rollout_len=rollout_len, **cap)
         init_state, train_step = make_ddpg_train_step(env, params, cfg)
     else:
         kw = {} if minibatches is None else {"minibatches": minibatches}
@@ -206,9 +211,15 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
         carry, m = step(carry, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / iters
-    # agent-axis views: action/obs spaces lead with the agent axis
-    n_agents = (int(env.action_space(params).shape[0])
-                if getattr(env, "agent_axis", False) else 1)
+    # agent-axis views: action/obs spaces lead with the agent axis;
+    # per-agent-policy envs (cogen-MA) expose the BASE flat action space,
+    # so count agents from the padded per-agent layout instead
+    if getattr(env, "per_agent_policy", False):
+        n_agents = int(env.padded_action_space(params).shape[0])
+    elif getattr(env, "agent_axis", False):
+        n_agents = int(env.action_space(params).shape[0])
+    else:
+        n_agents = 1
     unit = "agent-steps/s" if n_agents > 1 else "env-steps/s"
     result = {
         "metric": (metric_name
@@ -227,6 +238,8 @@ def bench_train(env_name: str = "building", num_envs: int = 4096,
                                                   False))
         if getattr(train_step, "fused_rollout", False):
             result["fused_policy_rollout"] = True
+        if getattr(train_step, "uma", False):
+            result["uniform_obs_ma_fast_path"] = True
         if obs_bf16:
             result["obs_bf16"] = True
         if minibatches is not None:
@@ -490,9 +503,12 @@ def main() -> None:
         # whole-episode rollouts through batch_unroll where supported,
         # VMEM-sized minibatches (~32k rows), bf16 obs storage for the
         # wide-obs EV configs (docs/benchmarks.md "learner tier")
+        # building PPO rides the policy-in-kernel fused path (round 5):
+        # obs_bf16 engages the kernel's bf16 learner block; minibatches=96
+        # is the measured sweet spot (40.4M vs 39.8M at 72)
         print(json.dumps(_stamp_expected(bench_train(
-            num_envs=8192, rollout_len=288, minibatches=72,
-            algo="ppo"))), flush=True)
+            num_envs=8192, rollout_len=288, minibatches=96,
+            obs_bf16=True, algo="ppo"))), flush=True)
         print(json.dumps(_stamp_expected(bench_train(algo="sac"))), flush=True)
         # minibatches=96 is the round-5 sweet spot for the policy-in-kernel
         # fused path (20.3M vs 19.7M at 72; 16k-row minibatches)
@@ -506,12 +522,32 @@ def main() -> None:
             "datacenter", num_envs=4096, rollout_len=672, minibatches=84,
             algo="ppo"))), flush=True)
         # BASELINE.json configs[4]: multi-agent EV shared-policy PPO
-        # (agent-steps/s; 512 envs x 54 station-agents)
+        # (agent-steps/s; 512 envs x 54 station-agents). periods_delay=0
+        # (the reference default) rides the uniform-obs fast path: every
+        # agent's obs row is identical, so the trunk runs once per env —
+        # gradient-exact (tests/test_ppo.py::test_uma_fast_path_matches_
+        # generic_ma pins metric equality vs the generic agent-axis path)
         print(json.dumps(_stamp_expected(bench_train(
             "evcharging-multiagent", num_envs=512, rollout_len=288,
             minibatches=36, obs_bf16=True, algo="ppo",
             metric_name="ppo_ma_evcharging_train_agent_steps_per_s_per_chip",
             project_action=False, periods_delay=0))), flush=True)
+        # the non-degenerate MA case (periods_delay=2: agents see distinct
+        # stale-obs rows) exercises the full per-agent-obs episodic path
+        print(json.dumps(_stamp_expected(bench_train(
+            "evcharging-multiagent", num_envs=512, rollout_len=288,
+            minibatches=36, obs_bf16=True, algo="ppo",
+            metric_name=("ppo_ma_evcharging_delay2_train_agent_steps"
+                         "_per_s_per_chip"),
+            project_action=False, periods_delay=2))), flush=True)
+        # heterogeneous per-agent stacked policies (cogen GT1/GT2/GT3/ST,
+        # the reference's per-agent RLLib PolicySpec analogue) — round-5
+        # verdict item 4: the stacked-params path gets a driver line
+        print(json.dumps(_stamp_expected(bench_train(
+            "cogen-multiagent", num_envs=4096, rollout_len=96,
+            minibatches=24, algo="ppo",
+            metric_name="ppo_ma_cogen_train_agent_steps_per_s_per_chip"
+            ))), flush=True)
         # off-policy learners on the SCED market (the market doc's
         # algorithm set) — every shipped algorithm is driver-visible
         print(json.dumps(_stamp_expected(bench_train(
@@ -520,6 +556,25 @@ def main() -> None:
         print(json.dumps(_stamp_expected(bench_train(
             "electricitymarket", num_envs=4096, rollout_len=32,
             algo="ddpg"))), flush=True)
+        # off-policy coverage beyond (sac: building)/(dqn, ddpg: market):
+        # SAC on the wide-obs projected-free EV env and on the market;
+        # DQN on the discretized MA-EV view (54 agents x 5 bins; small
+        # ring — the per-agent obs ring is HBM-bound)
+        print(json.dumps(_stamp_expected(bench_train(
+            "evcharging", num_envs=2048, rollout_len=64, algo="sac",
+            project_action=False,
+            metric_name="sac_evcharging_train_env_steps_per_s_per_chip"
+            ))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "electricitymarket", num_envs=4096, rollout_len=32,
+            algo="sac",
+            metric_name="sac_electricitymarket_train_env_steps_per_s_per_chip"
+            ))), flush=True)
+        print(json.dumps(_stamp_expected(bench_train(
+            "evcharging-multiagent", num_envs=128, rollout_len=32,
+            algo="dqn", capacity=64, discrete_bins=5, project_action=False,
+            metric_name="dqn_ma_evcharging_train_agent_steps_per_s_per_chip"
+            ))), flush=True)
         # sharded-program weak-scaling validation line (virtual devices)
         scal = bench_scaling_virtual(8)
         if scal is not None:

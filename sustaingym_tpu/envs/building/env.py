@@ -418,6 +418,97 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
             return parts[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
+    # ---- policy-in-kernel fast path (parallel.ppo fused protocol) -------
+    def fused_layout(self, params: BuildingParams) -> dict:
+        from ...ops.pallas.building_rollout import building_fused_layout
+        return building_fused_layout(params.n)
+
+    def fused_policy_unroll_supported(self, params: BuildingParams,
+                                      batch: int) -> bool:
+        """Static gate for :meth:`fused_policy_unroll` (same contract as
+        EVChargingEnv's): continuous physics-mode f32 params, p=2 reward,
+        n <= 8 zones, 128-lane batch, one real TPU device."""
+        return (params.is_continuous_action and not params.data_driven
+                and params.reward_pnorm == 2 and params.n <= 8
+                and params.A_d.dtype == jnp.float32
+                and batch % 128 == 0
+                and jax.devices()[0].platform == "tpu"
+                and jax.device_count() == 1)
+
+    def fused_policy_unroll(self, params: BuildingParams, policy: dict,
+                            key: jax.Array, batch: int, num_steps: int,
+                            w: int = 2048, noise: jax.Array | None = None,
+                            interpret: bool = False) -> dict:
+        """Policy-in-kernel fused episode rollout for the PPO learner —
+        the building counterpart of EVChargingEnv.fused_policy_unroll
+        (see ops/pallas/building_rollout.py policy-mode block): the
+        2-layer tanh actor samples inside the Pallas episode kernel and
+        the learner consumes the (block, feature-rows, lanes) output
+        verbatim. ``num_steps`` must equal one episode."""
+        L = params.episode_len
+        if num_steps != L:
+            raise ValueError("fused_policy_unroll runs exactly one episode")
+        w = min(w, max(128, (batch // 128) * 128))
+        if batch % w:
+            raise ValueError(f"batch {batch} not a multiple of lane "
+                             f"group {w}")
+        from ...ops.pallas import episode_slice_gather
+        from ...ops.pallas.building_rollout import (
+            build_operator, fused_building_policy_segment,
+            pack_building_policy_weights)
+
+        n = params.n
+        Tw = params.length_of_weather
+        nb = batch // w
+        m = build_operator(params)
+        consts = jnp.zeros((32, w), jnp.float32)
+        consts = consts.at[0:n].set(
+            jnp.broadcast_to(params.ac_map[:, None], (n, w)))
+        consts = consts.at[8:8 + n].set(
+            jnp.broadcast_to(params.target[:, None], (n, w)))
+        consts = consts.at[16].set(params.q_rate)
+        consts = consts.at[17].set(params.error_rate)
+        w1k, w2k, wmk, pb, pm = pack_building_policy_weights(policy, n)
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        e0 = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, Tw - 1))(init_keys)
+        block = episode_slice_gather(params.exog, e0, L)   # (B, L, 4)
+        wx = jnp.transpose(block.reshape(nb, w, L, 4), (0, 2, 3, 1))
+
+        if noise is None:
+            nz = jnp.zeros((1, 1, 1, w), jnp.float32)
+            seed = jax.random.randint(
+                jax.random.fold_in(key_scan, 0), (), 0, 2 ** 31 - 1)
+            use_rng = True
+        else:
+            nz = jnp.asarray(noise, jnp.float32)
+            nz = jnp.transpose(nz.reshape(L, nb, w, 8), (1, 0, 3, 2))
+            seed = jnp.zeros((), jnp.int32)
+            use_rng = False
+        out, lrn = fused_building_policy_segment(
+            m, consts, w1k, w2k, wmk, pb, pm, wx, nz, seed, L, n, w,
+            use_rng, interpret=interpret)
+
+        def field(i):
+            return jnp.transpose(
+                out[:, :, i, :], (1, 0, 2)).reshape(num_steps, batch)
+
+        width = lrn.shape[2]
+        obs_blk = lrn.reshape(nb * num_steps, width, w)
+        done = jnp.zeros((num_steps, batch), bool)
+        done = done.at[L - 1::L].set(True)
+        return {
+            "obs_blk_k": obs_blk,
+            "nb": nb, "w": w,
+            "reward": field(0),
+            "done": done,
+            "comfort_cost": field(1),
+            "power_cost": field(2),
+            "epochs": e0,
+        }
+
     def fused_rollout(self, params: BuildingParams, key: jax.Array,
                       batch: int, num_steps: int, actions: jax.Array | None
                       = None, il: int = 8, width: int = 128,

@@ -320,6 +320,25 @@ class MultiAgentEVChargingEnv(FunctionalEnv[MAEVParams, MAEVState]):
         reward = jnp.broadcast_to(ts.reward / n, (n,))
         return new_state, ts.replace(obs=obs, reward=reward)
 
+    # ---- uniform-obs fast path ------------------------------------------
+    def uniform_agent_obs(self, params: MAEVParams) -> bool:
+        """True when every agent's obs row is IDENTICAL by construction —
+        ``periods_delay == 0`` broadcasts the global flat obs to all
+        agents (reference multiagent_env.py:115 with delay off). Learners
+        can then run the policy trunk once per env and broadcast, which
+        is gradient-exact for a shared policy (each unique obs row's
+        weight gradient is the sum of its agents' contributions)."""
+        return params.periods_delay == 0 and params.discrete_bins == 0
+
+    def uniform_ma_unroll(self, params: MAEVParams, policy, policy_params,
+                          key: jax.Array, batch: int, num_steps: int):
+        """delay=0 rollout on the BASE env (no per-agent obs broadcast is
+        ever materialized): ``policy`` receives the base env's raw obs
+        dict batch and must return the (batch, n_stations) base action.
+        Returns the base env's TimeStep (flat obs, global reward)."""
+        return self.base.batch_unroll(params.base, policy, policy_params,
+                                      key, batch, num_steps)
+
     # ---- lockstep fast path ---------------------------------------------
     def batch_unroll(self, params: MAEVParams, policy, policy_params,
                      key: jax.Array, batch: int, num_steps: int,

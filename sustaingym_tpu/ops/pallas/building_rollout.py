@@ -187,3 +187,244 @@ def fused_building_segment(m: jax.Array, consts: jax.Array, wx: jax.Array,
             bytes_accessed=nb * il * steps * w * 4 * (_OUT_ROWS + 12)),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), m, consts, wx, acts)
+
+
+# ---------------------------------------------------------------------------
+# Policy-in-kernel variant (round-5): the PPO actor MLP runs INSIDE the
+# episode kernel, mirroring ops/pallas/ev_rollout.py's policy mode — obs
+# assembly, bf16 trunk matmuls on the MXU, Box-Muller Gaussian sampling,
+# the tanh * ac_map squash (default_act_transform for the Box(-ac, ac)
+# action space), and the RC env step fuse into one pallas_call per lane
+# group. The learner consumes the output block VERBATIM in the kernel's
+# (block, feature-rows, lanes) layout (parallel.ppo fused path).
+#
+# Learner block rows (bf16): [0:8]=x obs | [8]=out | [9]=ground |
+# [10]=ghi | [11]=occupower/1000 | [12:16]=0 | [16:24]=u. The first 16
+# rows ARE the kernel obs layout; building_fused_layout maps them to the
+# canonical flat obs [temps(n), out, ground, ghi, occ/1000].
+#
+# The obs the policy sees at step t is the PREVIOUS step's emitted obs
+# (x_t plus step t-1's exogenous channels and occupant power, matching
+# BuildingEnv._step_exog's obs ordering); at t=0 it is the reset obs
+# (exog row 0, occ of the target temps).
+
+_OBS_ROWS_P = 16
+_LRN_ROWS_P = 24
+_LRN_U0_P = 16
+_POUT_ROWS = 8
+
+
+def building_fused_layout(n: int) -> dict:
+    """Static learner-block description for parallel.ppo (same contract
+    as ev_rollout.ev_fused_layout)."""
+    import numpy as np
+    row_map = np.full(_OBS_ROWS_P, -1, dtype=np.int64)
+    row_map[0:n] = np.arange(n)          # zone temps
+    row_map[8] = n                       # out_temp
+    row_map[9] = n + 1                   # ground_temp
+    row_map[10] = n + 2                  # ghi
+    row_map[11] = n + 3                  # occupower / 1000
+    return {"width": _LRN_ROWS_P, "obs_cols": _OBS_ROWS_P,
+            "u_lo": _LRN_U0_P, "w1_row_map": row_map}
+
+
+def pack_building_policy_weights(policy: dict, n: int,
+                                 dtype=jnp.bfloat16):
+    """Re-lays a parallel.ppo policy pytree into the kernel operand
+    shapes (jit-friendly). Returns (w1k, w2k, wmk, pb, pm)."""
+    w1 = policy["trunk1"]["w"]                   # (n + 4, H)
+    H = w1.shape[1]
+    w1t = w1.T.astype(jnp.float32)               # (H, n + 4)
+    pad_z = jnp.zeros((H, 8 - n), jnp.float32)
+    w1k = jnp.concatenate(
+        [w1t[:, :n], pad_z, w1t[:, n:n + 4],
+         jnp.zeros((H, 4), jnp.float32)], axis=1).astype(dtype)  # (H, 16)
+    w2k = policy["trunk2"]["w"].T.astype(dtype)  # (H, H)
+    wm = policy["mu"]["w"].T.astype(jnp.float32)
+    wmk = jnp.zeros((8, H), jnp.float32).at[:n].set(wm).astype(dtype)
+    pb = jnp.zeros((H, 128), jnp.float32)
+    pb = pb.at[:, 0].set(policy["trunk1"]["b"].astype(jnp.float32))
+    pb = pb.at[:, 1].set(policy["trunk2"]["b"].astype(jnp.float32))
+    pm = jnp.zeros((8, 128), jnp.float32)
+    pm = pm.at[:n, 0].set(policy["mu"]["b"].astype(jnp.float32))
+    pm = pm.at[:n, 1].set(jnp.exp(policy["log_std"].astype(jnp.float32)))
+    return w1k, w2k, wmk, pb, pm
+
+
+def _normal_bits(shape):
+    """Standard-normal draws from the on-core PRNG via Box-Muller."""
+    import numpy as np
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _policy_kernel(seed_ref, m_ref, const_ref, w1_ref, w2_ref, wm_ref,
+                   pb_ref, pm_ref, wx_ref, noise_ref, out_ref, lrn_ref,
+                   xs, prev, z_ref, *, chunk: int, n_chunks: int, n: int,
+                   w: int, use_rng: bool):
+    j = pl.program_id(1)
+    if use_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * n_chunks + j)
+
+    ac = const_ref[0:_ZROWS]
+    target = const_ref[_ZROWS:2 * _ZROWS]
+    q_rate = const_ref[16:17]
+    beta = const_ref[17:18]
+    b1 = pb_ref[:, 0:1]
+    b2 = pb_ref[:, 1:2]
+    b_mu = pm_ref[:, 0:1]
+    sigma = pm_ref[:, 1:2]
+
+    @pl.when(j == 0)
+    def _init():
+        xs[...] = target * 1.0
+        wrow0 = wx_ref[0, 0, 0]              # (4, w): exog row of step 0
+        avg0 = jnp.sum(target[:n], axis=0, keepdims=True) / float(n)
+        occ0 = _occupower(avg0, wrow0[3:4])
+        prev[0:3] = wrow0[0:3]               # out, ground, ghi
+        prev[3:4] = occ0
+        prev[4:] = jnp.zeros((4, w), jnp.float32)
+        z_ref[20:] = jnp.zeros((_KDIM - 20, w), jnp.float32)
+
+    def body(t, _):
+        wrow = wx_ref[0, 0, t]               # (4, w)
+        x = xs[...]
+
+        # ---- obs (previous step's emitted obs) -------------------------
+        obs_m = jnp.concatenate([
+            x,                                # rows 0:8 (pad rows are 0)
+            prev[0:3],                        # out, ground, ghi
+            prev[3:4] * (1.0 / 1000.0),       # occ / 1000
+            jnp.zeros((4, w), jnp.float32),
+        ], axis=0)                            # (16, w)
+
+        # ---- actor MLP (bf16 MXU, f32 accumulation) --------------------
+        obs_bf = obs_m.astype(jnp.bfloat16)
+        h = jnp.tanh(jnp.dot(w1_ref[:], obs_bf,
+                             preferred_element_type=jnp.float32) + b1)
+        h = jnp.tanh(jnp.dot(w2_ref[:], h.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32) + b2)
+        mu = jnp.dot(wm_ref[:], h.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + b_mu  # (8, w)
+        if use_rng:
+            noise = _normal_bits((_ZROWS, w))
+        else:
+            noise = noise_ref[0, 0, t]
+        u = mu + sigma * noise
+        a = jnp.tanh(u) * ac                  # default_act_transform
+
+        lrn_ref[0, 0, t, 0:_OBS_ROWS_P] = obs_m.astype(jnp.bfloat16)
+        lrn_ref[0, 0, t, _LRN_U0_P:_LRN_ROWS_P] = u.astype(jnp.bfloat16)
+
+        # ---- env step (same math as the simulation kernel) -------------
+        avg = jnp.sum(x[:n], axis=0, keepdims=True) / float(n)
+        occ = _occupower(avg, wrow[3:4])
+        z_ref[0:_ZROWS] = x
+        z_ref[8:9] = occ
+        z_ref[9:10] = wrow[1:2]
+        z_ref[10:11] = wrow[0:1]
+        z_ref[11:19] = a
+        z_ref[19:20] = wrow[2:3]
+        x_new = jnp.dot(m_ref[:], z_ref[:],
+                        preferred_element_type=jnp.float32)
+        power = jnp.sqrt(jnp.sum((a * a)[:n], axis=0, keepdims=True))
+        diff = (x_new - target) * ac
+        comfort = jnp.sqrt(jnp.sum((diff * diff)[:n], axis=0,
+                                   keepdims=True))
+        power_cost = power * q_rate
+        comfort_cost = comfort * beta
+        out_ref[0, 0, t, 0:1] = -(power_cost + comfort_cost)
+        out_ref[0, 0, t, 1:2] = comfort_cost
+        out_ref[0, 0, t, 2:3] = power_cost
+        out_ref[0, 0, t, 3:] = jnp.zeros((_POUT_ROWS - 3, w), jnp.float32)
+
+        xs[...] = x_new
+        prev[0:3] = wrow[0:3]
+        prev[3:4] = occ
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "n", "w", "use_rng", "interpret"))
+def fused_building_policy_segment(m, consts, w1k, w2k, wmk, pb, pm, wx,
+                                  noise, seed, steps: int, n: int, w: int,
+                                  use_rng: bool, interpret: bool = False):
+    """One lockstep episode segment with the actor in-kernel. Returns
+    (rewards (nb, steps, 8, w) f32 rows [0]=reward [1]=comfort_cost
+    [2]=power_cost, learner block (nb, steps, 24, w) bf16). ``wx`` is
+    (nb, steps, 4, w) exogenous rows [out, ground, ghi, meta]."""
+    nb = wx.shape[0]
+    per_step = (4 * 4 + _LRN_ROWS_P * 2 + _POUT_ROWS * 4 + _ZROWS * 4) * w
+    chunk_max = max(1, min(96, (81 * 1024 * 1024) // (per_step * 2)))
+    chunk = max(d for d in range(1, chunk_max + 1) if steps % d == 0)
+    n_chunks = steps // chunk
+    wx = wx.reshape(nb, n_chunks, chunk, 4, w)
+    if use_rng:
+        noise_spec = pl.BlockSpec((1, 1, 1, 1, w),
+                                  lambda i, j: (0, 0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        noise = noise.reshape(1, 1, 1, 1, w)
+    else:
+        noise_spec = pl.BlockSpec((1, 1, chunk, _ZROWS, w),
+                                  lambda i, j: (i, j, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        noise = noise.reshape(nb, n_chunks, chunk, _ZROWS, w)
+    H = w1k.shape[0]
+    out, lrn = pl.pallas_call(
+        functools.partial(_policy_kernel, chunk=chunk, n_chunks=n_chunks,
+                          n=n, w=w, use_rng=use_rng),
+        grid=(nb, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ZROWS, _KDIM), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KDIM, w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _OBS_ROWS_P), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ZROWS, H), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ZROWS, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, 4, w), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            noise_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, chunk, _POUT_ROWS, w),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, _LRN_ROWS_P, w),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, n_chunks, chunk, _POUT_ROWS, w),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_chunks, chunk, _LRN_ROWS_P, w),
+                                 jnp.bfloat16),
+        ),
+        scratch_shapes=[pltpu.VMEM((_ZROWS, w), jnp.float32),
+                        pltpu.VMEM((_ZROWS, w), jnp.float32),
+                        pltpu.VMEM((_KDIM, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=nb * steps * w * (2 * H * (_OBS_ROWS_P + H + 8)
+                                    + 2 * _ZROWS * _KDIM + 120),
+            transcendentals=nb * steps * w * (2 * H + 16),
+            bytes_accessed=nb * steps * w * (
+                4 * 4 + _POUT_ROWS * 4 + _LRN_ROWS_P * 2)),
+        interpret=interpret,
+    )(jnp.reshape(seed.astype(jnp.int32), (1,)), m, consts, w1k, w2k, wmk,
+      pb, pm, wx, noise)
+    return (out.reshape(nb, steps, _POUT_ROWS, w),
+            lrn.reshape(nb, steps, _LRN_ROWS_P, w))

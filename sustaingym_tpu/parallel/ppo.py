@@ -352,6 +352,23 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
         and not user_act_transform and not user_obs_fn
         and getattr(env, "fused_policy_unroll_supported",
                     lambda *_: False)(env_params, cfg.num_envs))
+    # uniform-obs multi-agent fast path (e.g. MA-EV with periods_delay=0):
+    # every agent's obs row is identical, so the policy trunk runs ONCE
+    # per env and broadcasts over agents — gradient-exact for the shared
+    # policy (a unique row's weight gradient is the sum of its agents'
+    # contributions) and ~n_agents x less matmul work in rollout, scoring
+    # and update than materializing the broadcast
+    uma = (ma and episodic and not discrete
+           and getattr(env, "uniform_agent_obs", None) is not None
+           and env.uniform_agent_obs(env_params))
+    if uma:
+        uma_agents = int(env.action_space(env_params).shape[0])
+        _obs_fn_uma = flat_obs_fn(env, env_params)
+        if cfg.obs_bf16:
+            _f = _obs_fn_uma
+            obs_fn_uma = lambda o: _f(o).astype(jnp.bfloat16)  # noqa: E731
+        else:
+            obs_fn_uma = _obs_fn_uma
 
     def rollout_episodic(policy, key):
         def sampling_policy(p, obs_raw, k_act):
@@ -452,6 +469,45 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 x.reshape(cfg.rollout_len, nb, w), 0, 1).reshape(
                 nb * cfg.rollout_len, w)
 
+    def rollout_uma_episodic(policy, key):
+        """Uniform-obs MA whole-episode rollout: base-env unroll with the
+        trunk run once per env; (u, logp, value) reconstructed exactly as
+        ``rollout_episodic`` (same key derivation), with u drawn PER
+        AGENT around the shared mu."""
+        A = uma_agents
+
+        def sampling_policy(p, obs_raw, k_act):
+            obs_f = jax.vmap(obs_fn_uma)(obs_raw)          # (B, D)
+            mu, log_std, _ = apply_fn(p, obs_f)            # (B, 1)
+            noise = jax.random.normal(
+                k_act, mu.shape[:-1] + (A,), mu.dtype)
+            u = mu + jnp.exp(log_std) * noise              # (B, A)
+            return act_transform(u[..., None])[..., 0]     # (B, A) base act
+
+        ts = env.uniform_ma_unroll(env_params, sampling_policy, policy,
+                                   key, cfg.num_envs, cfg.rollout_len)
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, cfg.num_envs)
+        _, ts0 = jax.vmap(env.base.reset, in_axes=(None, 0))(
+            env_params.base, init_keys)
+        keys = jax.random.split(key_scan, cfg.rollout_len)
+        k_act = jax.vmap(lambda kk: jax.random.split(kk)[0])(keys)
+        obs0 = jax.vmap(obs_fn_uma)(ts0.obs)
+        obs_tail = jax.vmap(jax.vmap(obs_fn_uma))(
+            jax.tree.map(lambda x: x[:-1], ts.obs))
+        obs_seen = jnp.concatenate([obs0[None], obs_tail], axis=0)
+        mu, log_std, value = apply_fn(policy, obs_seen)    # (T, B, 1)
+        noise = jax.vmap(lambda kk: jax.random.normal(
+            kk, mu.shape[1:-1] + (A,), mu.dtype))(k_act)   # (T, B, A)
+        u = mu + jnp.exp(log_std) * noise
+        ls = log_std[None, None, :]
+        logp = -0.5 * ((u - mu) ** 2 * jnp.exp(-2 * ls)
+                       + 2 * ls + jnp.log(2 * jnp.pi))     # (T, B, A)
+        traj = {"obs": obs_seen, "u": u, "logp": logp, "value": value,
+                "reward": ts.reward / A,                   # per-agent share
+                "done": ts.done}
+        return traj, jnp.zeros_like(value[0])
+
     def rollout_fused_episodic(policy, key):
         out = env.fused_policy_unroll(env_params, policy, key,
                                       cfg.num_envs, cfg.rollout_len)
@@ -487,11 +543,24 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             mu_, log_std_, value, u_ = apply_fused_k(policy, batch["obs"])
             logp = _logp_k(mu_, log_std_, u_)
             dist_stats = log_std_
+        elif uma:
+            # trunk once per unique obs row; per-agent scalar logp around
+            # the shared mu (act_dim == 1 per agent)
+            mu_, log_std_, value = apply_fn(policy, batch["obs"])
+            ls = log_std_[None, :]
+            logp = -0.5 * ((batch["u"] - mu_) ** 2 * jnp.exp(-2 * ls)
+                           + 2 * ls + jnp.log(2 * jnp.pi))  # (mb, A)
+            dist_stats = log_std_
         else:
             logp, value, dist_stats = score_action(policy, batch["obs"],
                                                    batch["u"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if uma:
+            # per-(env, t) advantage broadcast over the agent axis of the
+            # per-agent ratios (identical values — matches the generic MA
+            # accounting exactly)
+            adv = adv[:, None]
         if cfg.algo == "a2c":
             pg = -(logp * adv).mean()
         else:
@@ -518,6 +587,9 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             # untouched like the episodic path)
             env_states, obs = carry["env_states"], carry["obs"]
             traj, last_value = rollout_fused_episodic(policy, k_roll)
+        elif uma:
+            env_states, obs = carry["env_states"], carry["obs"]
+            traj, last_value = rollout_uma_episodic(policy, k_roll)
         elif episodic:
             # whole-episode rollout through the env's lockstep prefetcher;
             # env_states/obs stay in the carry untouched (each train step
@@ -595,19 +667,22 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
             fields = None
         else:
             # total sample count: time x envs (x agents for shared-policy
-            # agent-axis views)
-            n = int(np.prod(traj["logp"].shape))
+            # agent-axis views; uma keeps ONE row per (env, t) with the
+            # agent axis folded into the u/logp field widths)
+            n = (int(np.prod(traj["logp"].shape[:2])) if uma
+                 else int(np.prod(traj["logp"].shape)))
+            logp_w = int(traj["logp"].shape[-1]) if uma else 1
             flat = {
                 "obs": traj["obs"].reshape(n, -1),
                 "u": traj["u"].reshape(n, -1),
-                "logp": traj["logp"].reshape(n),
+                "logp": traj["logp"].reshape(n, logp_w),
                 "adv": advs.reshape(n),
                 "ret": rets.reshape(n),
             }
             obs_w = int(flat["obs"].shape[1])
             u_dtype = flat["u"].dtype
             u_w = int(flat["u"].shape[1])
-            F = obs_w + u_w + 3
+            F = obs_w + u_w + logp_w + 2
             # pack every per-sample field into ONE (n, F) array so each
             # epoch shuffles with a single wide gather: per-minibatch
             # gathers of 10-40 byte rows profiled at 5.5 GB/s (~32x read
@@ -623,20 +698,21 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 # one f32 array would up-cast it back and double the
                 # shuffle bytes); the narrow fields pack into one f32
                 # array. Both shuffle with the same block permutation.
-                fields = [("u", u_w), ("logp", 1), ("adv", 1), ("ret", 1)]
+                fields = [("u", u_w), ("logp", logp_w),
+                          ("adv", 1), ("ret", 1)]
                 packed_obs = flat["obs"]            # (n, obs_w) bf16
                 packed = jnp.concatenate(
                     [flat["u"].astype(jnp.float32),
-                     flat["logp"][:, None], advs.reshape(n, 1),
-                     rets.reshape(n, 1)], axis=1)   # (n, u_w + 3) f32
+                     flat["logp"], advs.reshape(n, 1),
+                     rets.reshape(n, 1)], axis=1)   # f32
             else:
                 fields = [("obs", obs_w), ("u", u_w),
-                          ("logp", 1), ("adv", 1), ("ret", 1)]
+                          ("logp", logp_w), ("adv", 1), ("ret", 1)]
                 packed_obs = None
                 packed = jnp.concatenate(
                     [flat["obs"].astype(jnp.float32),
                      flat["u"].astype(jnp.float32),
-                     flat["logp"][:, None], advs.reshape(n, 1),
+                     flat["logp"], advs.reshape(n, 1),
                      rets.reshape(n, 1)], axis=1)
 
         if not fused_episodic:
@@ -659,7 +735,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 # must still draw >= 16 blocks so epoch composition remixes
                 # (a minibatch == one block would make the 72 minibatch SETS
                 # fixed across epochs, only reordered).
-                row_bytes = obs_w * 2 + (u_w + 3) * 4 if cfg.obs_bf16 else F * 4
+                row_bytes = (obs_w * 2 + (u_w + logp_w + 2) * 4
+                             if cfg.obs_bf16 else F * 4)
                 G = 1
                 while (G * row_bytes < 131072 and n % (2 * G) == 0
                        and n // (2 * G) >= 16 * cfg.minibatches):
@@ -696,7 +773,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                     off += width
                     out[name] = col
                 out["u"] = out["u"].astype(u_dtype)
-                out["logp"] = out["logp"][:, 0]
+                if not uma:          # uma keeps the (mb, A) agent axis
+                    out["logp"] = out["logp"][:, 0]
                 out["adv"] = out["adv"][:, 0]
                 out["ret"] = out["ret"][:, 0]
                 return out
@@ -763,6 +841,7 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
 
     train_step.episodic = episodic  # introspection (tests/bench labeling)
     train_step.fused_rollout = fused_episodic
+    train_step.uma = uma            # uniform-obs MA fast path active
     train_step.actor_fn = actor_fn       # deterministic eval policy
     train_step.actor_key = "policy"      # carry subtree holding its params
     return init_state, train_step

@@ -368,3 +368,108 @@ def test_fused_policy_kernel_matches_xla_reference():
     moer_k = kr(129, 1)[..., 0]
     moer_expect = np.asarray(params.moer)[np.asarray(days)][:, :T, 0].T
     np.testing.assert_array_equal(moer_k, to_bf(moer_expect))
+
+
+def test_fused_building_policy_kernel_matches_xla_reference():
+    """Building policy-in-kernel rollout (interpret mode, prescribed
+    noise) == an op-mirrored XLA reference: obs assembly (previous step's
+    exogenous channels + occupant power), the bf16 actor, tanh * ac_map
+    squash, RC step, rewards, learner-block layout. Building dynamics are
+    smooth (no quantization cliffs), so tolerances are tight."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.ops.pallas.building_rollout import (
+        building_fused_layout)
+
+    env, params = make("building")
+    n = params.n
+    batch, T, H = 128, int(params.episode_len), 64
+    key = jax.random.PRNGKey(5)
+    rng = np.random.default_rng(9)
+    noise = jnp.asarray(rng.standard_normal((T, batch, 8)), jnp.float32)
+    D = n + 4
+    policy = {
+        "trunk1": {"w": jnp.asarray(rng.normal(0, 0.3, (D, H)),
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)},
+        "trunk2": {"w": jnp.asarray(rng.normal(0, 0.3, (H, H)),
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)},
+        "mu": {"w": jnp.asarray(rng.normal(0, 0.3, (H, n)), jnp.float32),
+               "b": jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)},
+        "log_std": jnp.full((n,), -0.5, jnp.float32),
+    }
+    out = env.fused_policy_unroll(params, policy, key, batch, T,
+                                  w=128, noise=noise, interpret=True)
+    spec = building_fused_layout(n)
+    blk = np.asarray(out["obs_blk_k"], np.float32)   # (T, 24, 128)
+
+    # ---- XLA reference, op-mirrored -------------------------------------
+    key_init, _ = jax.random.split(key)
+    init_keys = jax.random.split(key_init, batch)
+    e0 = jax.vmap(lambda k: jax.random.randint(
+        k, (), 0, params.length_of_weather - 1))(init_keys)
+    state, ts = jax.vmap(env.reset_at_epoch, in_axes=(None, 0))(params, e0)
+    bf = jnp.bfloat16
+    sigma = float(np.exp(-0.5))
+    ac = np.asarray(params.ac_map)
+
+    def actor(obs_flat):
+        ob = obs_flat.astype(bf)
+        h = jnp.tanh(jnp.matmul(ob, policy["trunk1"]["w"].astype(bf),
+                                preferred_element_type=jnp.float32)
+                     + policy["trunk1"]["b"])
+        h = jnp.tanh(jnp.matmul(h.astype(bf),
+                                policy["trunk2"]["w"].astype(bf),
+                                preferred_element_type=jnp.float32)
+                     + policy["trunk2"]["b"])
+        return (jnp.matmul(h.astype(bf), policy["mu"]["w"].astype(bf),
+                           preferred_element_type=jnp.float32)
+                + policy["mu"]["b"])
+
+    vstep = jax.jit(jax.vmap(env.step, in_axes=(None, 0, 0, None)))
+    rewards, obs_ref, u_ref = [], [], []
+    obs = ts.obs
+    for t in range(T):
+        mu = actor(obs)
+        u = mu + sigma * noise[t, :, :n]
+        a = jnp.tanh(u) * ac[None, :]
+        obs_ref.append(np.asarray(obs, np.float32))
+        u_ref.append(np.asarray(u, np.float32))
+        state, ts2 = vstep(params, state, a, jax.random.PRNGKey(0))
+        rewards.append(np.asarray(ts2.reward))
+        obs = ts2.obs
+
+    def kr(lo, k):
+        return np.swapaxes(blk[:, lo:lo + k, :], 1, 2)   # (T, B, k)
+
+    to_bf = lambda x: np.asarray(jnp.asarray(x).astype(bf), np.float32)
+    obs_flat_ref = np.stack(obs_ref)                     # (T, B, n + 4)
+    # temps rows 0:n, aux rows 8:12. The dynamics feed the policy, so
+    # ~1e-6 matmul-reassociation drift between the in-kernel and XLA
+    # actors gets chaotically amplified over hundreds of steps (a value
+    # near a bf16 rounding boundary flips, the policy sees a half-ulp obs
+    # jump, trajectories separate). Assert EXACTNESS over an early
+    # horizon where drift is still at rounding level, and a tight
+    # aggregate bound over the full episode.
+    E = 32
+    x_k = kr(0, n)
+    aux_k = kr(8, 4)
+    dx = np.abs(x_k - to_bf(obs_flat_ref[..., :n]))
+    assert np.quantile(dx[:E], 0.99) < 0.05, np.quantile(dx[:E], 0.99)
+    np.testing.assert_allclose(aux_k[:E], to_bf(obs_flat_ref[:E, :, n:]),
+                               atol=2e-3, rtol=1e-2)
+    du = np.abs(kr(spec["u_lo"], n) - np.stack(u_ref))
+    assert np.quantile(du[:E], 0.99) < 0.05, np.quantile(du[:E], 0.99)
+    rew_k = np.asarray(out["reward"])
+    rew_r = np.stack(rewards)
+    dr = np.abs(rew_k - rew_r)
+    assert np.quantile(dr[:E], 0.99) < 0.02, np.quantile(dr[:E], 0.99)
+    # full-horizon: identical reward statistics (chaos decorrelates the
+    # per-step pairing but not the distribution)
+    assert abs(rew_k.mean() - rew_r.mean()) < 5e-3, (rew_k.mean(),
+                                                     rew_r.mean())
+    assert abs(rew_k.std() - rew_r.std()) < 2e-2, (rew_k.std(), rew_r.std())

@@ -447,3 +447,59 @@ def test_fused_policy_rollout_lr0_and_learns():
     # EV reward grows with charging profit: a learning policy must beat
     # the initial near-zero-action policy
     assert np.mean(rewards[-3:]) > np.mean(rewards[:3]), rewards
+
+
+def test_uma_fast_path_matches_generic_ma():
+    """The uniform-obs MA fast path (periods_delay=0: trunk once per env,
+    per-agent sampling around the shared mu) must produce the SAME
+    training step as the generic agent-axis path: identical rollout
+    trajectories (same PRNG stream through the same base unroll) and,
+    with lr=0 / 1 epoch / 1 minibatch (so both paths see every sample in
+    one batch), identical metrics."""
+    import sustaingym_tpu as sg
+
+    env, params = sg.make("evcharging-multiagent", periods_delay=0,
+                          project_action=False)
+    L = env.episode_steps(params)
+    cfg = PPOConfig(num_envs=2, rollout_len=L, lr=0.0, epochs=1,
+                    minibatches=1, hidden=32, obs_bf16=True)
+
+    init_state, fast_step = make_train_step(env, params, cfg)
+    assert fast_step.uma and fast_step.episodic
+    carry = init_state(jax.random.PRNGKey(0))
+    _, m_fast = jax.jit(fast_step)(carry, jax.random.PRNGKey(1))
+
+    env_slow, _ = sg.make("evcharging-multiagent", periods_delay=0,
+                          project_action=False)
+    env_slow.uniform_agent_obs = lambda p: False   # force the generic path
+    init_state2, slow_step = make_train_step(env_slow, params, cfg)
+    assert not slow_step.uma and slow_step.episodic
+    carry2 = init_state2(jax.random.PRNGKey(0))
+    _, m_slow = jax.jit(slow_step)(carry2, jax.random.PRNGKey(1))
+
+    for k in m_slow:
+        np.testing.assert_allclose(
+            float(m_fast[k]), float(m_slow[k]), rtol=2e-4, atol=1e-6,
+            err_msg=k)
+    assert abs(float(m_fast["pg_loss"])) < 1e-5
+
+
+def test_uma_fast_path_learns():
+    """The uma path trains: EV MA reward (profit-driven) improves."""
+    import sustaingym_tpu as sg
+
+    env, params = sg.make("evcharging-multiagent", periods_delay=0,
+                          project_action=False)
+    L = env.episode_steps(params)
+    cfg = PPOConfig(num_envs=32, rollout_len=L, lr=2e-3, epochs=2,
+                    minibatches=4, hidden=32, obs_bf16=True)
+    init_state, train_step = make_train_step(env, params, cfg)
+    assert train_step.uma
+    carry = init_state(jax.random.PRNGKey(0))
+    step = jax.jit(train_step, donate_argnums=0)
+    rewards = []
+    for i in range(12):
+        carry, m = step(carry, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        rewards.append(float(m["mean_reward"]))
+    assert np.isfinite(rewards).all()
+    assert np.mean(rewards[-3:]) > np.mean(rewards[:3]), rewards
