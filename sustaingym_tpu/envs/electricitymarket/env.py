@@ -152,8 +152,10 @@ def make_params(month: str = "2021-05",
                 # WARM budget for every subsequent step: the previous
                 # step's solution warm-starts a horizon shifted by one
                 # 5-min interval, needing several-fold fewer iterations
-                # for the same accuracy (test_warm_iters_price_accuracy)
-                lp_warm_iters: int = 60,
+                # for the same accuracy (test_warm_iters_price_accuracy;
+                # round-5 sweep: warm=40 at alpha=0.35 tracks the 600-iter
+                # reference as tightly as the old warm=60 at alpha=0.5)
+                lp_warm_iters: int = 40,
                 intermediate_rewards: bool = True,
                 # doc's 3-action discretize wrapper: Discrete(3) actions
                 # charge / do nothing / discharge -> DISCRETE_BIDS
@@ -171,12 +173,20 @@ def make_params(month: str = "2021-05",
                 # gain on this geometry (1.8 tracked worse at every warm
                 # budget) — kept for completeness, default off
                 lp_relax: float = 1.0,
-                # Pock-Chambolle preconditioner exponent: alpha=0.5
-                # measured 2x more accurate per iteration than the
-                # standard alpha=1 row/col sums on the SCED geometry
-                # (tools/warm_sweep.py: warm=60@0.5 tracks the 600-iter
-                # reference as tightly as warm=100@1.0)
-                lp_precond_alpha: float = 0.5,
+                # Pock-Chambolle preconditioner exponent: alpha sweeps
+                # (tools/warm_sweep.py + the round-5 2-D refinement)
+                # rank 0.35 best on the SCED geometry — warm=40@0.35
+                # mean |dp| $0.25 vs the 600-iter reference, matching
+                # warm=60@0.5 ($0.20) within the flat-200 baseline's
+                # tolerance at 1.5x fewer iterations
+                lp_precond_alpha: float = 0.35,
+                # merged [A; S] PDHG matmuls (ops/lp.py merge_blocks).
+                # Round-5 NEGATIVE result: measured 5.59M vs 5.90M
+                # env-steps/s with the separate blocks at batch 4096 on
+                # one v5e — the per-iteration dual concat costs more than
+                # the two tiny (me=4) matvecs it removes. Kept as an
+                # option for other geometries; default off
+                lp_merge: bool = False,
                 dtype=jnp.float32) -> MarketParams:
     from ...data.ev_etl import build_moer_pack
 
@@ -198,7 +208,8 @@ def make_params(month: str = "2021-05",
         mats["A"], np.zeros((0, mats["A"].shape[1])), iters=lp_iters,
         dtype=dtype, sym=mats["S"],
         matmul_dtype=jnp.bfloat16 if lp_bf16 else None,
-        relax=lp_relax, precond_alpha=lp_precond_alpha)
+        relax=lp_relax, precond_alpha=lp_precond_alpha,
+        merge_blocks=lp_merge)
     load = _synthesize_load(n_days, m)
     # pad horizon steps with the head of the next day for lookahead
     pad = np.roll(load, -1, axis=0)[:, :horizon]
@@ -277,9 +288,12 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
                       info=self._zero_info(params))
         return state, ts
 
-    def clear_market(self, params: MarketParams, state: MarketState,
-                     action: jax.Array) -> dict[str, jax.Array]:
-        """Builds and solves the SCED LP for the current step."""
+    def _sced_problem(self, params: MarketParams, state: MarketState,
+                      action: jax.Array):
+        """Per-env SCED problem data (c, b, h, warm init) for the current
+        step — the solve itself is separable so the lockstep
+        :meth:`batch_unroll` can run it through the whole-solve Pallas
+        kernel (ops/pallas/lp_solve.py) in one launch per step."""
         k = params.horizon
         action = jnp.asarray(action, params.load.dtype)
         a_charge = action[:k]
@@ -302,7 +316,17 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
         h = jnp.concatenate(
             flow_p + [jnp.broadcast_to(e_room, (k,))]
             + flow_m + [jnp.broadcast_to(state.energy, (k,))])
+        # shift the carried solution one interval to align with the
+        # moved horizon (zeros at t=0, so the cold start is unchanged)
+        init = lp.LPSolution(x=state.warm_x[params.warm_perm_x],
+                             y=state.warm_y[params.warm_perm_y],
+                             z=state.warm_z[params.warm_perm_z])
+        return c, b, h, init, loads[0]
 
+    def clear_market(self, params: MarketParams, state: MarketState,
+                     action: jax.Array) -> dict[str, jax.Array]:
+        """Builds and solves the SCED LP for the current step."""
+        c, b, h, init, load0 = self._sced_problem(params, state, action)
         # cold budget on the episode's first solve, warm budget after (the
         # carried solution is a near-optimal iterate once the horizon has
         # only shifted one interval); traced trip count -> while lowering
@@ -310,34 +334,41 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
                           params.lp_warm_iters)
         sol = lp.solve_lp(
             params.op, c, b, h, jnp.zeros_like(params.ub), params.ub,
-            # shift the carried solution one interval to align with the
-            # moved horizon (zeros at t=0, so the cold start is unchanged)
-            init=lp.LPSolution(x=state.warm_x[params.warm_perm_x],
-                               y=state.warm_y[params.warm_perm_y],
-                               z=state.warm_z[params.warm_perm_z]),
-            iters=iters)
+            init=init, iters=iters)
+        return self._cleared(params, sol, load0)
+
+    @staticmethod
+    def _cleared(params: MarketParams, sol: lp.LPSolution, load0
+                 ) -> dict[str, jax.Array]:
         price = -sol.y[0]
         charge = sol.x[params.ic]
         discharge = sol.x[params.id]
         return {"price": price, "charge": charge, "discharge": discharge,
                 "gen_dispatch": sol.x[:params.n_gen], "sol": sol,
-                "load": loads[0]}
+                "load": load0}
 
-    def step(self, params: MarketParams, state: MarketState,
-             action: jax.Array, key: jax.Array
-             ) -> tuple[MarketState, TimeStep]:
-        del key
+    @staticmethod
+    def _prep_action(params: MarketParams, action: jax.Array) -> jax.Array:
         dtype = params.load.dtype
         if params.discrete:
             # doc's 3-action wrapper: 0=charge / 1=idle / 2=discharge
             idx = jnp.asarray(action, jnp.int32).reshape(())
             table = jnp.asarray(DISCRETE_BIDS, dtype)  # (3, 2)
-            k = params.horizon
-            action = jnp.repeat(table[idx], k)         # (2k,) bids
-        else:
-            action = jnp.clip(jnp.asarray(action, dtype), 0.0, MAX_BID)
+            return jnp.repeat(table[idx], params.horizon)   # (2k,) bids
+        return jnp.clip(jnp.asarray(action, dtype), 0.0, MAX_BID)
 
+    def step(self, params: MarketParams, state: MarketState,
+             action: jax.Array, key: jax.Array
+             ) -> tuple[MarketState, TimeStep]:
+        del key
+        action = self._prep_action(params, action)
         cleared = self.clear_market(params, state, action)
+        return self._apply_cleared(params, state, action, cleared)
+
+    def _apply_cleared(self, params: MarketParams, state: MarketState,
+                       action: jax.Array, cleared: dict
+                       ) -> tuple[MarketState, TimeStep]:
+        dtype = params.load.dtype
         price = cleared["price"]
         c0, d0 = cleared["charge"], cleared["discharge"]
 
@@ -392,6 +423,119 @@ class ElectricityMarketEnv(FunctionalEnv[MarketParams, MarketState]):
                 "terminal_cost": terminal_cost,
             })
         return new_state, ts
+
+    # ---- lockstep fast path ---------------------------------------------
+    def batch_unroll(self, params: MarketParams, policy, policy_params,
+                     key: jax.Array, batch: int, num_steps: int
+                     ) -> TimeStep:
+        """Fused reset+rollout of ``batch`` lockstep envs on the SAME PRNG
+        stream as the generic autoreset scan (same key contract as the
+        EV/building unrolls — trajectories match to float tolerance).
+
+        The win: episodes are lockstep, so the cold/warm PDHG budget is a
+        PYTHON-static property of the scan position (episode step 0 cold,
+        rest warm) instead of a traced per-env ``where`` — which lets the
+        whole warm solve run through the Pallas whole-solve kernel
+        (ops/pallas/lp_solve.py: ALL iterations in one launch; the XLA
+        loop's ~12 launches per iteration made the market
+        launch-overhead-bound at ~10% MXU). Off-TPU (or at non-128
+        batches) the batched XLA solver runs instead — same math.
+        """
+        L = T_STEPS
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_pallas = on_tpu and batch % 128 == 0 and params.op.mg == 0
+        op = params.op
+        n, me, ms = op.n, op.me, op.ms
+        lb_b = jnp.zeros((batch, n), params.load.dtype)
+        ub_b = jnp.broadcast_to(params.ub, (batch, n))
+        if use_pallas:
+            from ...ops.pallas.lp_solve import (_pad8, pack_pdhg_operands,
+                                                pdhg_solve_paired)
+            kops = pack_pdhg_operands(op)
+            w = min(2048, batch)
+            while batch % w:
+                w //= 2
+            Np = _pad8(n)
+            ub_k = jnp.zeros((batch, Np), params.load.dtype
+                             ).at[:, :n].set(ub_b)
+            ub_k = jnp.transpose(
+                ub_k.reshape(batch // w, w, Np), (0, 2, 1))
+
+        def batched_solve(c, b, h, init, iters):
+            if use_pallas:
+                x, y, zp, zm = pdhg_solve_paired(
+                    kops, c, b, h[:, :ms], h[:, ms:2 * ms], ub_k,
+                    init.x, init.y, init.z[:, :ms], init.z[:, ms:2 * ms],
+                    dims=(n, me, ms), iters=iters, w=w)
+                return lp.LPSolution(
+                    x=x, y=y, z=jnp.concatenate([zp, zm], axis=-1))
+            return lp.solve_lp(op, c, b, h, lb_b, ub_b, init=init,
+                               iters=iters)
+
+        vprep = jax.vmap(self._prep_action, in_axes=(None, 0))
+        vprob = jax.vmap(self._sced_problem, in_axes=(None, 0, 0))
+        vclr = jax.vmap(self._cleared, in_axes=(None, 0, 0))
+        vapply = jax.vmap(self._apply_cleared, in_axes=(None, 0, 0, 0))
+
+        def solve_step(states, obs, key_t, iters):
+            key_act, key_env = jax.random.split(key_t)
+            actions = vprep(params, policy(policy_params, obs, key_act))
+            c, b, h, init, load0 = vprob(params, states, actions)
+            sol = batched_solve(c, b, h, init, iters)
+            cleared = vclr(params, sol, load0)
+            states, ts = vapply(params, states, actions, cleared)
+            return states, ts, key_env
+
+        key_init, key_scan = jax.random.split(key)
+        init_keys = jax.random.split(key_init, batch)
+        states, ts0 = jax.vmap(self.reset, in_axes=(None, 0))(
+            params, init_keys)
+        obs = ts0.obs
+        keys = jax.random.split(key_scan, num_steps)
+
+        parts = []
+        t0 = 0
+        while t0 < num_steps:
+            t_in_ep = t0 % L
+            seg = min(L - t_in_ep, num_steps - t0)
+            if t_in_ep == 0:
+                # episode-opening COLD solve, statically budgeted
+                states, ts_c, key_env = solve_step(
+                    states, obs, keys[t0], int(op.iters))
+                obs = ts_c.obs
+                cold = jax.tree.map(lambda x: x[None], ts_c)
+                parts.append(cold)
+                t0 += 1
+                t_in_ep = 1
+                seg -= 1
+                if seg == 0:
+                    continue
+
+            def body(carry, key_t):
+                states, obs = carry
+                states, ts, key_env = solve_step(
+                    states, obs, key_t, int(params.lp_warm_iters))
+                return (states, ts.obs), (ts, key_env)
+
+            (states, obs), (traj, env_keys) = jax.lax.scan(
+                body, (states, obs), keys[t0:t0 + seg])
+
+            if t_in_ep + seg == L:
+                # autoreset splice with the generic path's key derivation
+                bkeys = jax.random.split(env_keys[-1], batch)
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[1])(bkeys)
+                states, ts_r = jax.vmap(self.reset, in_axes=(None, 0))(
+                    params, reset_keys)
+                obs = ts_r.obs
+                traj = traj.replace(obs=jax.tree.map(
+                    lambda o, r: o.at[-1].set(r), traj.obs, obs))
+            parts.append(traj)
+            t0 += seg
+
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
 
     # ---- obs ------------------------------------------------------------
     def _obs(self, params: MarketParams, state: MarketState

@@ -74,6 +74,14 @@ class LPOperator:
     # over-relaxation on the full PDHG operator (z+ = z + rho (T z - z)):
     # PDHG is averaged nonexpansive, so any rho < 2 converges; 1.0 = plain
     relax: float = static_field(default=1.0)
+    # stacked [A; S] and its transpose for the merged-matmul iteration
+    # (one matmul for grad, one for both dual residuals): None when
+    # mg > 0 or either block is empty
+    AS: jax.Array | None = None
+    AS_T: jax.Array | None = None
+    # run the merged iteration (requires AS/AS_T; numerically identical
+    # iterates up to float reassociation)
+    merge_blocks: bool = static_field(default=False)
 
     @property
     def mi(self) -> int:
@@ -90,7 +98,8 @@ class LPSolution(NamedTuple):
 def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
                      dtype=jnp.float32, sym: np.ndarray | None = None,
                      matmul_dtype=None, relax: float = 1.0,
-                     precond_alpha: float = 1.0) -> LPOperator:
+                     precond_alpha: float = 1.0,
+                     merge_blocks: bool = False) -> LPOperator:
     """Builds the operator with diagonal (Pock-Chambolle) preconditioning:
     tau_j = 1 / sum_i |K_ij|^(2-alpha), sigma_i = 1 / sum_j |K_ij|^alpha
     (Pock & Chambolle 2011, thm. 1 — convergent for any alpha in [0, 2];
@@ -115,6 +124,9 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
     def row_sigma(Mat):
         return 1.0 / np.maximum((np.abs(Mat) ** a_exp).sum(axis=1), 1e-6)
 
+    merged = bool(merge_blocks and A.shape[0] and S.shape[0]
+                  and not G.shape[0])
+    AS = np.vstack([A, S]) if merged else None
     return LPOperator(
         A=jnp.asarray(A, dtype), S=jnp.asarray(S, dtype),
         G=jnp.asarray(G, dtype),
@@ -122,6 +134,9 @@ def make_lp_operator(A: np.ndarray, G: np.ndarray, iters: int = 400,
         sigma_a=jnp.asarray(row_sigma(A), dtype),
         sigma_s=jnp.asarray(row_sigma(S), dtype),
         sigma_g=jnp.asarray(row_sigma(G), dtype),
+        AS=None if AS is None else jnp.asarray(AS, dtype),
+        AS_T=None if AS is None else jnp.asarray(AS.T.copy(), dtype),
+        merge_blocks=merged,
         n=A.shape[1], me=A.shape[0], ms=S.shape[0], mg=G.shape[0],
         iters=int(iters), matmul_dtype=matmul_dtype, relax=float(relax))
 
@@ -173,32 +188,52 @@ def solve_lp(op: LPOperator, c: jax.Array, b: jax.Array, h: jax.Array,
     # changes that compile pathologically and run far off the MXU rate
     rho = op.relax
 
+    merged = op.merge_blocks
+
     def body(_, carry):
         x, y, zp, zm, zg = carry
-        grad = c
-        if me:
-            grad = grad + matmul(y, op.A)
-        if ms:
-            grad = grad + matmul(zp - zm, op.S)
-        if mg:
-            grad = grad + matmul(zg, op.G)
+        if merged:
+            # ONE matmul for the gradient and ONE for both dual
+            # residuals: the separate (B, me) @ (me, n) equality matvecs
+            # pad their tiny contraction dim to a full MXU tile each —
+            # for SCED (me=4 vs ms=156) they cost nearly as much as the
+            # big block despite carrying 2% of the rows. Iterates are
+            # identical up to float reassociation.
+            yz = jnp.concatenate([y, zp - zm], axis=-1)
+            grad = c + matmul(yz, op.AS)
+        else:
+            grad = c
+            if me:
+                grad = grad + matmul(y, op.A)
+            if ms:
+                grad = grad + matmul(zp - zm, op.S)
+            if mg:
+                grad = grad + matmul(zg, op.G)
         x_new = jnp.clip(x - op.tau * grad, lb, ub)
         x_bar = 2.0 * x_new - x
-        if me:
-            y_new = y + op.sigma_a * (matmul(x_bar, op.A.T) - b)
-        else:
-            y_new = y
-        if ms:
-            s = matmul(x_bar, op.S.T)       # shared +/- matvec
+        if merged:
+            t = matmul(x_bar, op.AS_T)      # (B, me + ms)
+            y_new = y + op.sigma_a * (t[..., :me] - b)
+            s = t[..., me:]
             zp_new = jnp.maximum(0.0, zp + op.sigma_s * (s - h_p))
             zm_new = jnp.maximum(0.0, zm + op.sigma_s * (-s - h_m))
-        else:
-            zp_new, zm_new = zp, zm
-        if mg:
-            zg_new = jnp.maximum(0.0, zg + op.sigma_g * (
-                matmul(x_bar, op.G.T) - h_g))
-        else:
             zg_new = zg
+        else:
+            if me:
+                y_new = y + op.sigma_a * (matmul(x_bar, op.A.T) - b)
+            else:
+                y_new = y
+            if ms:
+                s = matmul(x_bar, op.S.T)       # shared +/- matvec
+                zp_new = jnp.maximum(0.0, zp + op.sigma_s * (s - h_p))
+                zm_new = jnp.maximum(0.0, zm + op.sigma_s * (-s - h_m))
+            else:
+                zp_new, zm_new = zp, zm
+            if mg:
+                zg_new = jnp.maximum(0.0, zg + op.sigma_g * (
+                    matmul(x_bar, op.G.T) - h_g))
+            else:
+                zg_new = zg
         if rho != 1.0:
             # Relaxed combination of the previous and new iterates. NOTE:
             # the extra re-projection below (maximum(0,.) on duals, clip on

@@ -63,6 +63,12 @@ class PPOConfig:
     # cost for wide-obs envs (EV: 146-float obs, 1.9GB of samples at
     # 8192x288). Default off: f32 obs reproduce pre-round-4 numerics.
     obs_bf16: bool = static_field(default=False)
+    # target bytes per shuffle block (the unit of the epoch permutation):
+    # large blocks gather at full HBM bandwidth (round-5: the old ~2KB
+    # blocks cost as much as the whole minibatch grad loop on EV), but a
+    # minibatch must draw >= 16 blocks to remix across epochs, so narrow
+    # configs cap G below this target automatically
+    shuffle_block_bytes: int = static_field(default=131072)
 
 
 # ---------------------------------------------------------------------------
@@ -738,7 +744,8 @@ def make_train_step(env: FunctionalEnv, env_params, cfg: PPOConfig,
                 row_bytes = (obs_w * 2 + (u_w + logp_w + 2) * 4
                              if cfg.obs_bf16 else F * 4)
                 G = 1
-                while (G * row_bytes < 131072 and n % (2 * G) == 0
+                while (G * row_bytes < cfg.shuffle_block_bytes
+                       and n % (2 * G) == 0
                        and n // (2 * G) >= 16 * cfg.minibatches):
                     G *= 2
                 n_blocks = n // G

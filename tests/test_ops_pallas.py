@@ -473,3 +473,42 @@ def test_fused_building_policy_kernel_matches_xla_reference():
     assert abs(rew_k.mean() - rew_r.mean()) < 5e-3, (rew_k.mean(),
                                                      rew_r.mean())
     assert abs(rew_k.std() - rew_r.std()) < 2e-2, (rew_k.std(), rew_r.std())
+
+
+def test_pallas_pdhg_solve_matches_xla_solver():
+    """Whole-solve PDHG kernel (interpret mode) == ops.lp.solve_lp with
+    bf16 matmul inputs on the SCED operator: same preconditioned
+    iteration, same shared +/- matvec, warm starts included."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu import make
+    from sustaingym_tpu.ops import lp
+    from sustaingym_tpu.ops.pallas.lp_solve import (pack_pdhg_operands,
+                                                    pdhg_solve_paired)
+
+    env, params = make("electricitymarket", lp_bf16=True)
+    op = params.op
+    rng = np.random.default_rng(0)
+    B, n, me, ms = 8, op.n, op.me, op.ms
+    c = jnp.asarray(rng.uniform(-50, 50, (B, n)), jnp.float32)
+    b = jnp.asarray(rng.uniform(100, 2000, (B, me)), jnp.float32)
+    h = jnp.asarray(rng.uniform(10, 500, (B, 2 * ms)), jnp.float32)
+    ub = jnp.broadcast_to(params.ub, (B, n))
+    x0 = jnp.asarray(rng.uniform(0, 1, (B, n)), jnp.float32)
+    y0 = jnp.asarray(rng.normal(0, 5, (B, me)), jnp.float32)
+    z0 = jnp.asarray(np.abs(rng.normal(0, 1, (B, 2 * ms))), jnp.float32)
+    init = lp.LPSolution(x=x0, y=y0, z=z0)
+    sol = lp.solve_lp(op, c, b, h, jnp.zeros((B, n)), ub, init=init,
+                      iters=50)
+    x, y, zp, zm = pdhg_solve_paired(
+        pack_pdhg_operands(op), c, b, h[:, :ms], h[:, ms:], ub,
+        x0, y0, z0[:, :ms], z0[:, ms:], dims=(n, me, ms), iters=50,
+        w=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(sol.x),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(sol.y),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([zp, zm], -1)),
+                               np.asarray(sol.z), rtol=1e-4, atol=2e-3)
