@@ -67,8 +67,10 @@ class PPOConfig:
     # large blocks gather at full HBM bandwidth (round-5: the old ~2KB
     # blocks cost as much as the whole minibatch grad loop on EV), but a
     # minibatch must draw >= 16 blocks to remix across epochs, so narrow
-    # configs cap G below this target automatically
-    shuffle_block_bytes: int = static_field(default=131072)
+    # configs cap G below this target automatically. 32KB won the round-5
+    # sweep on the generic-path envs (cogen 18.7M / datacenter 26.2M vs
+    # 14.7M / 22.2M at 128KB and 17.6M / 25.0M at 2KB)
+    shuffle_block_bytes: int = static_field(default=32768)
 
 
 # ---------------------------------------------------------------------------
