@@ -265,14 +265,16 @@ def test_fused_ev_chunking_handles_non_divisor_steps():
     assert np.isfinite(np.asarray(fused.reward)).all()
 
 
-def test_fused_policy_kernel_matches_xla_reference():
+@pytest.mark.parametrize("site", ["caltech", "jpl"])
+def test_fused_policy_kernel_matches_xla_reference(site):
     """Policy-in-kernel EV rollout (interpret mode, prescribed noise,
     projection off) == an op-mirrored XLA reference: obs assembly, the
     bf16 actor MLP, Gaussian sampling, tanh squash, env stepping, and the
-    learner-block layout (est/dem/aux/u rows). The actor math is mirrored
-    (same bf16 cast points, f32 accumulation), so everything must agree
-    except rare pilot-quantization boundary flips from float-reassociation
-    drift — asserted via a 99.9th-percentile bound plus a mean bound."""
+    learner-block layout (est/dem/aux/u rows), on BOTH packaged sites.
+    The actor math is mirrored (same bf16 cast points, f32 accumulation),
+    so everything must agree except rare pilot-quantization boundary
+    flips from float-reassociation drift — asserted via quantile bounds
+    plus a mean bound."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -280,16 +282,17 @@ def test_fused_policy_kernel_matches_xla_reference():
     from sustaingym_tpu.envs import evcharging
     from sustaingym_tpu.ops.pallas.ev_rollout import ev_fused_layout
 
-    env, params = evcharging.make_env(site="caltech",
+    env, params = evcharging.make_env(site=site,
                                       date_period="Summer 2021",
                                       project_action=False)
     n = params.n_stations
     batch, T, H = 128, 288, 64
+    D = 2 + 2 * n + 36                    # flat obs width (site-dependent)
     key = jax.random.PRNGKey(11)
     rng = np.random.default_rng(3)
     noise = jnp.asarray(rng.standard_normal((T, batch, 64)), jnp.float32)
     policy = {
-        "trunk1": {"w": jnp.asarray(rng.normal(0, 0.3, (146, H)),
+        "trunk1": {"w": jnp.asarray(rng.normal(0, 0.3, (D, H)),
                                     jnp.float32),
                    "b": jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)},
         "trunk2": {"w": jnp.asarray(rng.normal(0, 0.3, (H, H)),
