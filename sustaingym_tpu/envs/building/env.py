@@ -449,9 +449,10 @@ class BuildingEnv(FunctionalEnv[BuildingParams, BuildingState]):
         if num_steps != L:
             raise ValueError("fused_policy_unroll runs exactly one episode")
         w = min(w, max(128, (batch // 128) * 128))
-        if batch % w:
-            raise ValueError(f"batch {batch} not a multiple of lane "
-                             f"group {w}")
+        while batch % w:          # any 128-multiple batch works: halve the
+            w //= 2               # lane group down to an aligned width
+        if w < 128:
+            raise ValueError(f"batch {batch} must be a multiple of 128")
         from ...ops.pallas import episode_slice_gather
         from ...ops.pallas.building_rollout import (
             build_operator, fused_building_policy_segment,

@@ -676,6 +676,7 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         return (params.moer.dtype == jnp.float32
                 and not isinstance(params.proj, qp.SOCProjection)
                 and int(params.proj.C.shape[0]) <= 32
+                and params.n_stations <= 64
                 and batch % 128 == 0
                 and jax.devices()[0].platform == "tpu"
                 # multi-device meshes would need the pallas_call wrapped
@@ -720,9 +721,10 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
             raise ValueError("fused_policy_unroll supports the dual-FISTA "
                              "projection only")
         w = min(w, max(128, (batch // 128) * 128))
-        if batch % w:
-            raise ValueError(f"batch {batch} not a multiple of lane "
-                             f"group {w}")
+        while batch % w:          # any 128-multiple batch works: halve the
+            w //= 2               # lane group down to an aligned width
+        if w < 128:
+            raise ValueError(f"batch {batch} must be a multiple of 128")
         from ...ops.pallas.ev_rollout import (build_ev_operators,
                                               fused_ev_policy_segment,
                                               pack_policy_weights)

@@ -251,13 +251,8 @@ def pack_building_policy_weights(policy: dict, n: int,
     return w1k, w2k, wmk, pb, pm
 
 
-def _normal_bits(shape):
-    """Standard-normal draws from the on-core PRNG via Box-Muller."""
-    import numpy as np
-    u1 = _uniform01(shape)
-    u2 = _uniform01(shape)
-    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
-    return r * jnp.cos((2.0 * np.pi) * u2)
+# Box-Muller normal draws: shared with the EV policy kernel
+from .ev_rollout import _normal_bits  # noqa: E402
 
 
 def _policy_kernel(seed_ref, m_ref, const_ref, w1_ref, w2_ref, wm_ref,

@@ -515,3 +515,34 @@ def test_pallas_pdhg_solve_matches_xla_solver():
                                rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(jnp.concatenate([zp, zm], -1)),
                                np.asarray(sol.z), rtol=1e-4, atol=2e-3)
+
+
+def test_fused_policy_unroll_halves_lane_group_for_any_128_multiple():
+    """Any 128-multiple batch must run (review finding: batches above and
+    not a multiple of the lane-width cap crashed instead of halving the
+    group down — e.g. 384 with a 1024 cap). Shape-only check in interpret
+    mode with prescribed noise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sustaingym_tpu import make
+
+    env, params = make("building")
+    n = params.n
+    batch, T, H, D = 384, int(params.episode_len), 16, n + 4
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.standard_normal((T, batch, 8)), jnp.float32)
+    policy = {
+        "trunk1": {"w": jnp.zeros((D, H), jnp.float32),
+                   "b": jnp.zeros((H,), jnp.float32)},
+        "trunk2": {"w": jnp.zeros((H, H), jnp.float32),
+                   "b": jnp.zeros((H,), jnp.float32)},
+        "mu": {"w": jnp.zeros((H, n), jnp.float32),
+               "b": jnp.zeros((n,), jnp.float32)},
+        "log_std": jnp.full((n,), -0.5, jnp.float32),
+    }
+    out = env.fused_policy_unroll(params, policy, jax.random.PRNGKey(0),
+                                  batch, T, noise=noise, interpret=True)
+    assert out["reward"].shape == (T, batch)
+    assert out["obs_blk_k"].shape[2] % 128 == 0   # lane width halved to fit
