@@ -400,3 +400,26 @@ def test_market_batch_unroll_matches_generic():
         np.testing.assert_allclose(np.asarray(fast.obs[k]),
                                    np.asarray(slow.obs[k]), rtol=2e-4,
                                    atol=2e-3, err_msg=k)
+
+
+def test_market_episodic_ppo_lr0_invariant():
+    """The market env now rides PPO's episodic fast path (rollout_len ==
+    288 routes through batch_unroll; round-5). The post-hoc (u, logp,
+    value) reconstruction must be exact on the market's key stream too:
+    lr=0 with one full-batch minibatch gives pg_loss == 0."""
+    import jax
+
+    from sustaingym_tpu.parallel import PPOConfig
+    from sustaingym_tpu.parallel.ppo import make_train_step
+
+    env, params = em.make_env(month="2021-05", horizon=4, lp_iters=30,
+                              lp_warm_iters=10)
+    L = env.episode_steps(params)
+    cfg = PPOConfig(num_envs=2, rollout_len=L, lr=0.0, epochs=1,
+                    minibatches=1, hidden=16)
+    init_state, train_step = make_train_step(env, params, cfg)
+    assert train_step.episodic and not train_step.fused_rollout
+    carry = init_state(jax.random.PRNGKey(0))
+    carry, m = jax.jit(train_step)(carry, jax.random.PRNGKey(1))
+    assert abs(float(m["pg_loss"])) < 1e-5, dict(m)
+    assert np.isfinite(float(m["vf_loss"]))
