@@ -352,11 +352,12 @@ def _bench_one(env_name: str, batch: int, steps: int | None, fused: bool,
                                  repeats=repeats, profile_dir=profile_dir)
     elif env_name == "evcharging":
         if fused:
-            # fused Pallas simulation tier — round 4's in-kernel dual-FISTA
-            # (wide 2048-lane groups) beats the XLA lockstep path with
-            # projection ON too (62M vs 50M at batch 16k; docs/benchmarks.md
-            # "Where the time goes" #2/#6)
-            result = bench_fused("evcharging", min(batch, 16384),
+            # fused Pallas simulation tier — round 5's in-kernel day
+            # select (onehot MXU matmul against the day slab, replacing
+            # the host-side per-env table gather+transpose) lifted the
+            # projected tier 62M -> ~80-120M and keeps scaling to 32k+
+            # batches (the old 16k cap predates it)
+            result = bench_fused("evcharging", min(batch, 65536),
                                  min(steps, 288), repeats=repeats,
                                  profile_dir=profile_dir,
                                  project_action=project_action)
@@ -398,7 +399,7 @@ SUITE_BATCH = {
     "building": 524288,
     "cogen": 262144,
     "datacenter": 262144,
-    "evcharging": 16384,     # 32768 measured SLOWER (35.0M vs 47.1M)
+    "evcharging": 32768,     # in-kernel day select scales past 16k (r5)
     # BASELINE.json config 3 is "batch 4096" — the suite line is the
     # named config (8192 measured ~equal steps/s/chip)
     "electricitymarket": 4096,

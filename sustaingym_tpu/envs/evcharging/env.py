@@ -561,8 +561,12 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         # the RNG path needs the on-core PRNG, which has no interpret-mode
         # lowering: interpret runs require prescribed actions
         platform_ok = on_tpu or (interpret and actions is not None)
+        # in-kernel day select streams a (chunk, 136, Dp) slab: cap the
+        # day-bank width (huge GMM banks fall back to batch_unroll's
+        # gather path, which already handles them)
+        days_ok = params.n_days <= 512
         if not (batch % w == 0 and dtype_ok and proj_ok and cones_ok
-                and platform_ok):
+                and platform_ok and days_ok):
             if actions is not None:
                 raise ValueError("fused_rollout with explicit actions "
                                  "requires a supported config")
@@ -589,6 +593,11 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         table = jnp.concatenate(
             [pad_to(dep_t, 64), pad_to(req_t, 64), pad_to(moer0_t, 8)],
             axis=2)                                  # (n_days, 289, 136)
+        D = params.n_days
+        Dp = -(-D // 128) * 128
+        slab = jnp.zeros((L, 136, Dp), jnp.float32)
+        slab = slab.at[:, :, :D].set(
+            jnp.transpose(table[:, :L], (1, 2, 0)))
 
         key_init, key_scan = jax.random.split(key)
         init_keys = jax.random.split(key_init, batch)
@@ -607,8 +616,10 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
         seg_idx = 0
         while t0 < num_steps:
             seg = min(L, num_steps - t0)
-            wx = table[days][:, :seg]                # (B, seg, 136)
-            wx = jnp.transpose(wx.reshape(nb, w, seg, 136), (0, 2, 3, 1))
+            onehot = (days[:, None] == jnp.arange(Dp)[None, :]).astype(
+                jnp.float32)
+            onehot = jnp.transpose(
+                onehot.reshape(nb, w, Dp), (0, 2, 1))   # (nb, Dp, w)
             if actions is None:
                 acts = jnp.zeros((1, 1, 1, w), jnp.float32)
                 seed = jax.random.randint(
@@ -624,8 +635,8 @@ class EVChargingEnv(FunctionalEnv[EVParams, EVState]):
                 seed = jnp.zeros((), jnp.int32)
                 use_rng = False
             out = fused_ev_segment(
-                k_op, ct_op, c_op, consts, wx, acts, seed, seg, n, w,
-                iters, rho, alpha, bool(params.project_action),
+                k_op, ct_op, c_op, consts, slab[:seg], onehot, acts, seed,
+                seg, n, w, iters, rho, alpha, bool(params.project_action),
                 proj_method, restart, use_rng, interpret=interpret)
 
             def field(i):

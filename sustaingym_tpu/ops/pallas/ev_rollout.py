@@ -150,10 +150,11 @@ def _both(x):
     return jnp.concatenate([x, x], axis=0)
 
 
-def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
-            out_ref, plugged, dep, demand, *, chunk: int, n_chunks: int,
-            n: int, w: int, iters: int, rho: float, alpha: float,
-            project: bool, proj_method: str, restart: bool, use_rng: bool):
+def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, slab_ref, oh_ref,
+            act_ref, out_ref, plugged, dep, demand, *, chunk: int,
+            n_chunks: int, n: int, w: int, iters: int, rho: float,
+            alpha: float, project: bool, proj_method: str, restart: bool,
+            use_rng: bool):
     # 2D grid (group, step-chunk): the wx table streams through VMEM in
     # chunk-sized blocks so the lane width can grow past what a whole
     # 288-step block allows (w=512 needs 80MB/block unchunked); the station
@@ -252,7 +253,15 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
         return jnp.clip(a - ydot, 0.0, ub)
 
     def body(t, _):
-        wrow = wx_ref[0, 0, t]                    # (136, W)
+        # in-kernel day select (round 5, shared with the policy kernel):
+        # ONE onehot MXU matmul against the streamed day slab replaces
+        # the host-side per-env (B, T, 136) gather + transpose (2.6GB
+        # materialized per 16384x288 rollout, ~20% of the tier). HIGHEST
+        # precision keeps every selected f32 value exact (each output is
+        # a single 1.0 * v product)
+        wrow = jnp.dot(slab_ref[0, t], oh_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (136, W)
         plug_dep = wrow[0:_SROWS]
         plug_req = wrow[64:64 + _SROWS]
         moer0 = wrow[128:129]
@@ -325,7 +334,7 @@ def _kernel(seed_ref, k_ref, ct_ref, c_ref, const_ref, wx_ref, act_ref,
     jax.jit, static_argnames=("steps", "n", "w", "iters", "rho", "alpha",
                               "project", "proj_method", "restart",
                               "use_rng", "interpret"))
-def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
+def fused_ev_segment(k_op, ct_op, c_op, consts, slab, onehot, acts, seed,
                      steps: int, n: int, w: int, iters: int, rho: float,
                      alpha: float, project: bool, proj_method: str,
                      restart: bool, use_rng: bool,
@@ -333,23 +342,20 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
     """Runs one lockstep episode segment for nb * w envs; see module
     layouts. Returns (nb, steps, 8, w) reward/info rows.
 
-    The wx/acts/out tables stream through VMEM in step CHUNKS over a 2D
-    (group, chunk) grid — a whole-episode block at w=512 would need 80MB
-    of VMEM per buffer; chunked blocks keep the footprint ~9MB so the lane
-    width (envs per kernel instance) can grow to hide the projection
-    loop's serialized iteration latency."""
-    nb = wx.shape[0]
-    # chunk sized to keep the double-buffered wx block under VMEM at the
-    # chosen lane width (block bytes = chunk * _WX_ROWS * w * 4 * 2,
-    # budget ~81MB: 36 * 136 * 2048 * 8 = 80.2MB measured compiling within
-    # the 112MB limit alongside the other blocks). The chunk must divide
-    # ``steps``; take the largest divisor within budget — arbitrary step
-    # counts stay compilable at any width (a whole-segment fallback chunk
-    # at w=2048 needs 214MB for steps=96 and fails Mosaic).
-    chunk_max = max(1, min(36, (81 * 1024 * 1024) // (_WX_ROWS * w * 8)))
+    ``slab`` is the (steps, 136, Dp) day table (wx rows, day axis last,
+    padded to a 128 multiple); ``onehot`` is (nb, Dp, w) selecting each
+    lane env's episode day — rows are gathered IN-KERNEL with one MXU
+    matmul per step (round 5; was a host-side per-env gather+transpose).
+    The slab/acts/out blocks stream through VMEM in step CHUNKS over a 2D
+    (group, chunk) grid; the station state persists in scratch across a
+    group's chunks."""
+    nb = onehot.shape[0]
+    Dp = slab.shape[2]
+    per_step = Dp * _WX_ROWS * 4 + _OUT_ROWS * 4 * w
+    chunk_max = max(1, min(36, (81 * 1024 * 1024) // (per_step * 2)))
     chunk = max(d for d in range(1, chunk_max + 1) if steps % d == 0)
     n_chunks = steps // chunk
-    wx = wx.reshape(nb, n_chunks, chunk, _WX_ROWS, w)
+    slab = slab.reshape(n_chunks, chunk, _WX_ROWS, Dp)
     if use_rng:
         act_spec = pl.BlockSpec((1, 1, 1, 1, w), lambda i, j: (0, 0, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -375,8 +381,10 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CONST_ROWS, w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, _WX_ROWS, w),
-                         lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, chunk, _WX_ROWS, Dp),
+                         lambda i, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             act_spec,
         ],
@@ -398,7 +406,7 @@ def fused_ev_segment(k_op, ct_op, c_op, consts, wx, acts, seed,
             bytes_accessed=nb * steps * w * 4 * (_WX_ROWS + _OUT_ROWS)),
         interpret=interpret,
     )(jnp.reshape(seed.astype(jnp.int32), (1,)), k_op, ct_op, c_op, consts,
-      wx, acts)
+      slab, onehot, acts)
     return out.reshape(nb, steps, _OUT_ROWS, w)
 
 
